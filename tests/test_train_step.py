@@ -1,0 +1,119 @@
+"""Single-chip train step + checkpoint round-trip + scheduler tests."""
+
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from veloxseg_tpu.core.config import VeloxSegConfig
+from veloxseg_tpu.nn.veloxseg import VeloxSeg
+from veloxseg_tpu.train.checkpoint import (load_checkpoint, load_params,
+                                           save_checkpoint)
+from veloxseg_tpu.train.loss import CompositeLoss
+from veloxseg_tpu.train.optim import EpochScheduler, build_optimizer
+from veloxseg_tpu.train.train_state import (create_train_state,
+                                            train_step_fn)
+
+TRAIN_CFG = {
+    "deep_Loss_weight": [1, 1, 1, 1],
+    "RC_Loss_weight": 0.5,
+    "Feature_Loss_weight": 2.0,
+    "epochs": 300,
+    "optimizer": {"optimizer_type": "adamw",
+                  "optimizer_args": {"lr": 2.5e-4, "weight_decay": 0.01}},
+    "warmup_scheduler": {"enabled": True, "warmup_epochs": 10},
+    "train_scheduler": {"scheduler_type": "cosine_annealing",
+                        "scheduler_args": {"epochs": 290, "min_lr": 6e-6}},
+}
+
+TINY = VeloxSegConfig(
+    input_size=(32, 32, 32), patch_size=4, in_ch=(1, 1), n_classes=2,
+    base_ch=8, attn_base_ch=8, depths=(1, 1, 1, 1),
+    min_big_window_sizes=((2, 2, 2), (2, 2, 2), (2, 2, 2), (1, 1, 1)),
+)
+
+
+@pytest.fixture(scope="module")
+def state_and_batch():
+    """Returns (model, make_state, x, y); the train step donates its input
+    state, so each test builds a fresh one."""
+    model = VeloxSeg(TINY)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 32, 32, 32, 2)), dtype=jnp.float32)
+    y = jnp.asarray(np.random.default_rng(1).integers(0, 2, (2, 32, 32, 32)),
+                    dtype=jnp.int32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0),
+         "dropout": jax.random.PRNGKey(1)}, x, train=True)
+
+    def make_state():
+        tx = build_optimizer("adamw", {"lr": 2.5e-4, "weight_decay": 0.01})
+        return create_train_state(
+            model, jax.tree_util.tree_map(jnp.copy, variables["params"]), tx)
+
+    return model, make_state, x, y
+
+
+def test_train_step_decreases_loss(state_and_batch):
+    model, make_state, x, y = state_and_batch
+    state = make_state()
+    loss_obj = CompositeLoss("VeloxSeg", TRAIN_CFG, num_modal=2)
+    step = train_step_fn(loss_obj)
+    losses = []
+    for i in range(5):
+        state, aux = step(state, x, y, jax.random.PRNGKey(i))
+        losses.append(float(aux["loss"]))
+        assert math.isfinite(losses[-1])
+        assert 0.0 <= float(aux["dice"]) <= 1.0
+    assert losses[-1] < losses[0], losses
+
+
+def test_checkpoint_roundtrip(tmp_path, state_and_batch):
+    model, make_state, x, y = state_and_batch
+    state = make_state()
+    path = os.path.join(tmp_path, "ep0.ckpt")
+    save_checkpoint(path, state.params, state.opt_state, epoch=3,
+                    best_train_dice=0.5, best_val_dice=0.4,
+                    scheduler_state={"plateau_scale": 1.0})
+    payload = load_checkpoint(path, params_template=state.params,
+                              opt_state_template=state.opt_state)
+    assert payload["epoch"] == 3
+    assert payload["best_train_dice"] == 0.5
+    for a, b in zip(jax.tree_util.tree_leaves(payload["params"]),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Bare-params loading path (inference accepts both).
+    params = load_params(path, params_template=state.params)
+    leaves_a = jax.tree_util.tree_leaves(params)
+    assert len(leaves_a) == len(jax.tree_util.tree_leaves(state.params))
+
+
+def test_scheduler_parity_cosine():
+    s = EpochScheduler(TRAIN_CFG)
+    base = 2.5e-4
+    # warmup epochs 0..9: (e+1)/10 * base
+    assert s.learning_rate(0) == pytest.approx(base / 10)
+    assert s.learning_rate(9) == pytest.approx(base)
+    # cosine from epoch 10: t = e-10, T_max=290, eta_min 6e-6
+    for e in (10, 100, 299):
+        t = e - 10
+        want = 6e-6 + (base - 6e-6) * 0.5 * (
+            1 + math.cos(math.pi * t / 290))
+        assert s.learning_rate(e) == pytest.approx(want)
+
+
+def test_scheduler_plateau():
+    cfg = dict(TRAIN_CFG)
+    cfg["train_scheduler"] = {"scheduler_type": "reducelronplateau",
+                              "mode": "max", "patience": 1,
+                              "scheduler_args": {"min_lr": 1e-6}}
+    s = EpochScheduler(cfg)
+    base = 2.5e-4
+    assert s.learning_rate(20) == pytest.approx(base)
+    s.plateau_step(0.5)
+    s.plateau_step(0.4)  # bad 1
+    s.plateau_step(0.4)  # bad 2 > patience → drop
+    assert s.learning_rate(20) == pytest.approx(base * 0.1)

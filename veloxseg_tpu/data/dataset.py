@@ -1,0 +1,164 @@
+"""Dataset pairing + threaded patch loader.
+
+Replaces the reference's MONAI ``Dataset``/``DataLoader`` stack
+(``utils/train_autopet.py:193-211``): file-glob pairing with the
+sorted-order 60/20/20 split (``:174-189`` — list order, not randomized —
+preserved), per-item transform pipeline on host threads, and a
+double-buffered device feed.
+
+TPU-native design: the loader runs transforms in a thread pool (gzip
+inflate + numpy resampling release the GIL), collates ``num_samples``
+crops per item exactly like MONAI ``list_data_collate`` (so
+``batch_size=2`` yields 4 patches per step, the reference's effective
+batch — SURVEY §5 config quirk), and hands off ready host arrays for
+``jax.device_put`` overlap.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import math
+import threading
+from glob import glob
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..utils.runtime import validate_file_groups
+from .nifti import load_nifti
+from .transforms import (crop_foreground, rand_crop_by_pos_neg_label,
+                         rand_rotate_z)
+
+
+class SegmentationDataset:
+    """Paired multimodal volumes + label with reference split semantics."""
+
+    def __init__(self, file_groups: Dict[str, List[str]], dataset_name: str):
+        """``file_groups``: ordered dict of modality name → sorted paths,
+        with 'label' last."""
+        self.length = validate_file_groups(dataset_name, file_groups)
+        self.names = [k for k in file_groups if k != "label"]
+        self.files = [
+            {**{k: file_groups[k][i] for k in self.names},
+             "label": file_groups["label"][i]}
+            for i in range(self.length)
+        ]
+
+    @classmethod
+    def from_globs(cls, patterns: Dict[str, str], dataset_name: str):
+        groups = {k: sorted(glob(p)) for k, p in patterns.items()}
+        return cls(groups, dataset_name)
+
+    def split(self, train_rate: float, val_rate: float):
+        """Sorted-order split (reference ``utils/train_autopet.py:174-189``)."""
+        n = self.length
+        a = int(train_rate * n)
+        b = int((train_rate + val_rate) * n)
+        return self.files[:a], self.files[a:b], self.files[b:]
+
+
+def default_train_transform(patch_size, num_samples=2, rotate_prob=0.5,
+                            range_z=math.radians(15.0),
+                            use_foreground_crop=True):
+    """The AutoPET/Hecktor train pipeline
+    (``utils/train_autopet.py:132-152``; Hecktor skips CropForegroundd)."""
+
+    def apply(volumes: List[np.ndarray], label: np.ndarray,
+              rng: np.random.Generator):
+        if use_foreground_crop:
+            cropped = crop_foreground(list(volumes) + [label],
+                                      source=volumes[0])
+            volumes, label = cropped[:-1], cropped[-1]
+        samples = rand_crop_by_pos_neg_label(
+            volumes, label, patch_size, num_samples=num_samples, rng=rng)
+        out = []
+        for s in samples:
+            vols, lab = s[:-1], s[-1]
+            vols, lab = rand_rotate_z(vols, lab, range_z, prob=rotate_prob,
+                                      rng=rng)
+            out.append((np.stack(vols, axis=-1), lab))
+        return out
+
+    return apply
+
+
+def default_val_transform(patch_size, num_samples=2,
+                          use_foreground_crop=True):
+    """Validation pipeline (``utils/train_autopet.py:154-170``) — same
+    pos/neg crop, no rotation."""
+
+    def apply(volumes, label, rng):
+        if use_foreground_crop:
+            cropped = crop_foreground(list(volumes) + [label],
+                                      source=volumes[0])
+            volumes, label = cropped[:-1], cropped[-1]
+        samples = rand_crop_by_pos_neg_label(
+            volumes, label, patch_size, num_samples=num_samples, rng=rng)
+        return [(np.stack(s[:-1], axis=-1), s[-1]) for s in samples]
+
+    return apply
+
+
+class PatchLoader:
+    """Threaded, shuffling patch loader with one-batch lookahead."""
+
+    def __init__(self, files: List[dict], modality_keys: Sequence[str],
+                 transform: Callable, batch_size: int = 2,
+                 num_samples: int = 2, num_workers: int = 4,
+                 shuffle: bool = True, seed: int = 12345,
+                 modal_index: Optional[Sequence[int]] = None,
+                 binary_label: bool = True):
+        self.files = files
+        self.keys = list(modality_keys)
+        self.transform = transform
+        self.batch_size = batch_size
+        self.num_samples = num_samples
+        self.shuffle = shuffle
+        self.binary_label = binary_label
+        self.modal_index = (list(modal_index) if modal_index is not None
+                            else [1] * len(self.keys))
+        self._rng = np.random.default_rng(seed)
+        self._pool = cf.ThreadPoolExecutor(max_workers=num_workers)
+        self._lock = threading.Lock()
+
+    def _load_item(self, item: dict, seed: int):
+        rng = np.random.default_rng(seed)
+        vols = [load_nifti(item[k]).data.astype(np.float32)
+                for k, on in zip(self.keys, self.modal_index) if on]
+        label = load_nifti(item["label"]).data.astype(np.int32)
+        return self.transform(vols, label, rng)
+
+    def __len__(self):
+        return math.ceil(len(self.files) / self.batch_size)
+
+    def __iter__(self):
+        order = np.arange(len(self.files))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        seeds = self._rng.integers(0, 2 ** 31, size=len(order))
+
+        futures = []
+        for idx, seed in zip(order, seeds):
+            futures.append(self._pool.submit(
+                self._load_item, self.files[idx], int(seed)))
+
+        # list_data_collate parity: every item contributes num_samples
+        # patches; a "batch" is batch_size items' worth of patches.
+        per_batch = self.batch_size * self.num_samples
+        batch_x, batch_y = [], []
+        for fut in futures:
+            for x, y in fut.result():
+                batch_x.append(x)
+                batch_y.append(y)
+            while len(batch_x) >= per_batch:
+                yield self._emit(batch_x[:per_batch], batch_y[:per_batch])
+                del batch_x[:per_batch], batch_y[:per_batch]
+        if batch_x:
+            yield self._emit(batch_x, batch_y)
+
+    def _emit(self, xs, ys):
+        x = np.stack(xs)
+        y = np.stack(ys)
+        if self.binary_label:
+            y = (y != 0).astype(np.int32)
+        return x, y

@@ -1,0 +1,119 @@
+"""Composite training loss.
+
+Parity target: reference ``utils/loss.py`` —
+``total = Σ_deep w_i·(CE + Dice) + rc_w·MSE(recon, input) +
+feat_w·mean_m MSE(gram_student, gram_teacher_m)``,
+with MONAI ``DiceLoss(include_background=False, to_onehot_y=True,
+softmax=True)`` semantics (smooth 1e-5 in numerator and denominator) and
+special output layouts for A2FSeg / deep-supervised baselines.
+
+All reductions in fp32. Channels-last logits ``(B, *spatial, C)``, integer
+labels ``(B, *spatial)``.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.runtime import (
+    a2fseg_deep_output_groups,
+    normalized_deep_loss_weights,
+    veloxseg_output_layout,
+)
+
+
+def softmax_ce_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Mean softmax cross-entropy with integer labels (torch CE parity).
+
+    Uses a dense one-hot contraction rather than ``take_along_axis``: the
+    gather's backward is a scatter-add, which is catastrophically slow on
+    TPU; the dense form is a fused multiply for the 2-4 class counts here.
+    """
+    logits = logits.astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    onehot = jax.nn.one_hot(labels, logits.shape[-1], dtype=jnp.float32)
+    return -jnp.mean(jnp.sum(logp * onehot, axis=-1))
+
+
+def dice_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+              include_background: bool = False,
+              smooth_nr: float = 1e-5, smooth_dr: float = 1e-5
+              ) -> jnp.ndarray:
+    """MONAI DiceLoss parity (softmax + onehot target, no background)."""
+    n_classes = logits.shape[-1]
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    onehot = jax.nn.one_hot(labels, n_classes, dtype=jnp.float32)
+    if not include_background:
+        probs = probs[..., 1:]
+        onehot = onehot[..., 1:]
+    axes = tuple(range(1, probs.ndim - 1))
+    intersection = jnp.sum(probs * onehot, axis=axes)
+    denom = jnp.sum(probs, axis=axes) + jnp.sum(onehot, axis=axes)
+    dice = (2.0 * intersection + smooth_nr) / (denom + smooth_dr)
+    return jnp.mean(1.0 - dice)
+
+
+class CompositeLoss:
+    """Callable mirroring reference ``Loss`` (``utils/loss.py:10-86``).
+
+    Stateless and jit-friendly: all configuration is Python-level, all
+    inputs are arrays.
+    """
+
+    def __init__(self, model_name: str, config, num_modal: int = 2):
+        self.model_name = model_name
+        self.num_modal = num_modal
+        self.deep_loss_weight = [float(w) for w in
+                                 config["deep_Loss_weight"]]
+        self.rc_loss_weight = config.get("RC_Loss_weight")
+        self.feature_loss_weight = config.get("Feature_Loss_weight")
+
+    def seg_loss(self, logits, labels):
+        return softmax_ce_loss(logits, labels) + dice_loss(logits, labels)
+
+    def deep_seg_loss(self, outputs: Sequence[jnp.ndarray], labels):
+        if not isinstance(outputs, (list, tuple)):
+            outputs = [outputs]
+        weights = normalized_deep_loss_weights(self.deep_loss_weight,
+                                               len(outputs))
+        loss = jnp.float32(0.0)
+        for w, out in zip(weights, outputs):
+            loss = loss + w * self.seg_loss(out, labels)
+        return loss
+
+    def __call__(self, output: List[jnp.ndarray], labels: jnp.ndarray,
+                 sr_labels: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        name = self.model_name
+        if name == "VeloxSeg":
+            layout = veloxseg_output_layout(len(output), self.num_modal)
+            s0, s1 = layout["seg"]
+            seg = self.deep_seg_loss(output[s0:s1], labels)
+            rc = jnp.mean(jnp.square(
+                output[layout["reconstruction"]].astype(jnp.float32)
+                - sr_labels.astype(jnp.float32)))
+            student = output[layout["decoder_gram"]].astype(jnp.float32)
+            feat = jnp.float32(0.0)
+            for t in layout["teacher_grams"]:
+                feat = feat + jnp.mean(jnp.square(
+                    student - output[t].astype(jnp.float32)))
+            feat = feat / self.num_modal
+            return (seg + self.rc_loss_weight * rc
+                    + self.feature_loss_weight * feat)
+
+        if name == "A2FSeg":
+            loss = jnp.float32(0.0)
+            for start, end in a2fseg_deep_output_groups(len(output)):
+                loss = loss + self.deep_seg_loss(output[start:end], labels)
+            primary_w = normalized_deep_loss_weights(
+                self.deep_loss_weight, len(self.deep_loss_weight))[0]
+            return loss + primary_w * softmax_ce_loss(output[0], labels)
+
+        if name in ("VSmTrans", "UNETRpp", "HDense"):
+            return self.deep_seg_loss(output, labels)
+
+        if isinstance(output, (list, tuple)):
+            output = output[0]
+        return self.seg_loss(output, labels)
