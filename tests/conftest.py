@@ -1,15 +1,25 @@
 """Test configuration: run the suite on a virtual 8-device CPU mesh.
 
-This is the standard TPU-less way to exercise jit/shard_map code; the real
-TPU is reserved for benchmarks (first compile there is slow).
+This environment pre-imports jax at interpreter startup (an axon
+sitecustomize registers the tunneled TPU backend with
+``JAX_PLATFORMS=axon``), so env vars set here are too late — the platform
+must be overridden through ``jax.config`` after import. The test suite
+must never touch the real chip: CPU only, 8 virtual devices (the standard
+TPU-less way to exercise jit/shard_map code).
 """
 
 import os
 
-# Force CPU even if the environment points JAX at a (tunneled) TPU — the
-# test suite must never contend with benchmark runs for the real chip.
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402  (must follow the env setup above)
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass  # older jax: the XLA_FLAGS path above covers it

@@ -1,0 +1,115 @@
+"""End-to-end CLI integration test: train 2 epochs on synthetic NIfTI
+data via run_train flags, then run whole-volume inference via run_test
+flags and check the metrics CSV.
+
+This is the framework-level smoke test the reference only had as manual
+shell scripts (SURVEY §4).
+"""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tests.make_fixtures import make_autopet_fixtures
+
+TINY_MODEL = {
+    "VeloxSeg": {
+        "input_size": [32, 32, 32], "patch_size": 4, "in_ch": [1, 1],
+        "n_classes": 2, "base_ch": 8, "attn_base_ch": 8,
+        "conv_depths": [1, 1, 1, 1], "kernel_sizes": [1, 3, 5],
+        "min_dim_group": [4, 8, 8, 16],
+        "conv_expansion_factor": [3, 3, 2, 2], "depths": [1, 1, 1, 1],
+        "min_big_window_sizes": [[2, 2, 2], [2, 2, 2], [2, 2, 2],
+                                 [1, 1, 1]],
+        "min_small_window_sizes": [[1, 1, 1]] * 4,
+        "min_dim_head": [4, 8, 8, 16], "ffn_expansion_ratio": [3, 3, 2, 2],
+        "num_heads": [1, 2, 2, 4], "proj_drop": 0.1, "conv_drop": 0.1,
+        "spatial_dim": 3,
+    }
+}
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    data_root = os.path.join(root, "data")
+    globs = make_autopet_fixtures(data_root, n_cases=5)
+
+    train_config = {
+        "patch_size": {"AutoPETII": [32, 32, 32]},
+        "spacing": {"AutoPETII": [1, 1, 1]},
+        "batch_size": 1,
+        "deep_Loss_weight": [1, 1, 1, 1],
+        "RC_Loss_weight": 0.5,
+        "Feature_Loss_weight": 2.0,
+        "train_rate": 0.6,
+        "val_rate": 0.2,
+        "epochs": 2,
+        "show_deep_metric": True,
+        "save_model_interval": 1,
+        "val_interval": 1,
+        "optimizer": {"optimizer_type": "adamw",
+                      "optimizer_args": {"lr": 1e-3,
+                                         "weight_decay": 0.01}},
+        "warmup_scheduler": {"enabled": True, "warmup_epochs": 1},
+        "train_scheduler": {"scheduler_type": "cosine_annealing",
+                            "scheduler_args": {"epochs": 1,
+                                               "min_lr": 1e-5}},
+        "save_path": os.path.join(root, "save"),
+        "log_path": os.path.join(root, "logs"),
+        "dataset_path": {"AutoPETII": globs},
+    }
+    test_config = {
+        "result_metric_path": os.path.join(root, "result", "metric"),
+        "result_pred_path": os.path.join(root, "result", "prediction"),
+        "sliding_window": {"overlap": 0.25},
+    }
+    paths = {}
+    for name, data in (("train.json", train_config),
+                       ("models.json", TINY_MODEL),
+                       ("test.json", test_config)):
+        p = os.path.join(root, name)
+        with open(p, "w") as f:
+            json.dump(data, f)
+        paths[name] = p
+    return root, paths
+
+
+def test_train_then_test_cli(workspace):
+    root, paths = workspace
+
+    from veloxseg_tpu.cli.train_main import main as train_main
+    result = train_main([
+        "--dataset_name", "AutoPETII",
+        "--model_name", "VeloxSeg",
+        "--train_config", paths["train.json"],
+        "--model_config", paths["models.json"],
+        "--num_workers", "2",
+        "--model_index", "t0",
+    ])
+    save_path = result["save_path"]
+    ckpts = sorted(os.listdir(save_path))
+    assert "val_best.ckpt" in ckpts, ckpts
+    assert "train_best.ckpt" in ckpts
+    assert any(c.endswith(".ckpt") and c[0].isdigit() for c in ckpts)
+
+    from veloxseg_tpu.cli.test_main import main as test_main
+    df = test_main([
+        "--dataset_name", "AutoPETII",
+        "--model_name", "VeloxSeg",
+        "--train_config", paths["train.json"],
+        "--model_config", paths["models.json"],
+        "--test_config", paths["test.json"],
+        "--checkpoint_dir", save_path,
+        "--checkpoint_index", "val_best",
+        "--use_hd95", "1",
+        "--sw_batch_size", "2",
+    ])
+    assert len(df) == 1  # 5 cases * 20% test split
+    assert "dice" in df.columns and "hd95" in df.columns
+    assert 0.0 <= float(df["dice"].iloc[0]) <= 1.0
+    csvs = glob.glob(os.path.join(root, "result", "metric", "*.csv"))
+    assert csvs, "metrics CSV not written"

@@ -108,7 +108,7 @@ class TestPixelShuffle:
         np.testing.assert_allclose(got, np.moveaxis(want, 1, -1))
 
     def test_roundtrip_with_embed(self):
-        x = jnp.arange(2 * 2 * 2 * 2 * 8.0).reshape(1, 2, 2, 2, 8)
+        x = jnp.arange(1 * 2 * 2 * 2 * 8.0).reshape(1, 2, 2, 2, 8)
         y = pixel_shuffle_3d(x, 2)
         assert y.shape == (1, 4, 4, 4, 1)
 

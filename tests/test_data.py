@@ -1,0 +1,120 @@
+"""Data pipeline tests: NIfTI I/O, transforms, loader, HD95."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from veloxseg_tpu.data.nifti import load_nifti, save_nifti
+from veloxseg_tpu.data.transforms import (
+    crop_foreground, foreground_bbox, normalize_ct_global,
+    normalize_pet_zscore, rand_crop_by_pos_neg_label, rand_rotate_z,
+    remap_brats_label, ct_global_statistics)
+from veloxseg_tpu.train.hd95 import get_hausdorff, hd95
+
+
+class TestNifti:
+    def test_roundtrip_float(self, tmp_path):
+        rng = np.random.default_rng(0)
+        vol = rng.standard_normal((10, 12, 14)).astype(np.float32)
+        p = os.path.join(tmp_path, "x.nii.gz")
+        save_nifti(p, vol, spacing=(1.5, 2.0, 3.0))
+        img = load_nifti(p)
+        np.testing.assert_allclose(img.data, vol, rtol=1e-6)
+        assert img.spacing[:3] == (1.5, 2.0, 3.0)
+
+    def test_roundtrip_int_uncompressed(self, tmp_path):
+        vol = np.arange(60, dtype=np.int16).reshape(3, 4, 5)
+        p = os.path.join(tmp_path, "y.nii")
+        save_nifti(p, vol)
+        img = load_nifti(p, dtype=np.int16)
+        np.testing.assert_array_equal(img.data, vol)
+
+
+class TestTransforms:
+    def test_foreground_bbox(self):
+        v = np.zeros((10, 10, 10), np.float32)
+        v[2:5, 3:7, 1:9] = 1.0
+        bbox = foreground_bbox(v)
+        assert bbox == ((2, 5), (3, 7), (1, 9))
+        cropped = crop_foreground([v, v * 2], v)
+        assert cropped[0].shape == (3, 4, 8)
+
+    def test_pos_neg_crop_balance(self):
+        rng = np.random.default_rng(0)
+        label = np.zeros((40, 40, 40), np.int32)
+        label[18:22, 18:22, 18:22] = 1
+        img = rng.standard_normal((40, 40, 40)).astype(np.float32)
+        n_pos = 0
+        for _ in range(30):
+            samples = rand_crop_by_pos_neg_label(
+                [img], label, (16, 16, 16), num_samples=2, rng=rng)
+            for s in samples:
+                assert s[0].shape == (16, 16, 16)
+                assert s[1].shape == (16, 16, 16)
+                if s[1].sum() > 0:
+                    n_pos += 1
+        # pos=1/neg=1 → roughly half the crops contain lesion
+        assert 15 < n_pos < 55
+
+    def test_crop_pads_small_volumes(self):
+        rng = np.random.default_rng(1)
+        label = np.ones((8, 8, 8), np.int32)
+        img = rng.standard_normal((8, 8, 8)).astype(np.float32)
+        samples = rand_crop_by_pos_neg_label([img], label, (16, 16, 16),
+                                             num_samples=1, rng=rng)
+        assert samples[0][0].shape == (16, 16, 16)
+
+    def test_rotate_preserves_shape_and_labels(self):
+        rng = np.random.default_rng(2)
+        img = rng.standard_normal((20, 20, 10)).astype(np.float32)
+        label = (rng.random((20, 20, 10)) > 0.8).astype(np.int32)
+        vols, lab = rand_rotate_z([img], label, math.radians(15),
+                                  prob=1.0, rng=rng)
+        assert vols[0].shape == img.shape
+        assert lab.shape == label.shape
+        assert set(np.unique(lab)) <= {0, 1}  # nearest keeps labels crisp
+
+    def test_normalizations(self):
+        rng = np.random.default_rng(3)
+        img = rng.standard_normal((10, 10, 10)).astype(np.float32) * 5 + 3
+        z = normalize_pet_zscore(img)
+        assert abs(z.mean()) < 1e-5 and abs(z.std() - 1) < 1e-4
+
+        stats = ct_global_statistics(img.ravel())
+        c = normalize_ct_global(img, stats)
+        assert c.max() <= (stats["percentile_99_5"] - stats["mean"]) / \
+            stats["std"] + 1e-5
+
+        lab = np.array([0, 1, 2, 4], np.int32)
+        np.testing.assert_array_equal(remap_brats_label(lab), [0, 1, 2, 3])
+
+
+class TestHD95:
+    def test_identical_masks_zero(self):
+        m = np.zeros((12, 12, 12), bool)
+        m[4:8, 4:8, 4:8] = True
+        assert hd95(m, m) == 0.0
+
+    def test_empty_mask_nan(self):
+        m = np.zeros((8, 8, 8), bool)
+        f = np.ones((8, 8, 8), bool)
+        assert math.isnan(get_hausdorff(m, f))
+
+    def test_known_offset(self):
+        a = np.zeros((20, 20, 20), bool)
+        b = np.zeros((20, 20, 20), bool)
+        a[5:10, 5:10, 5:10] = True
+        b[7:12, 5:10, 5:10] = True  # shifted by 2 along axis 0
+        d = hd95(a, b)
+        assert 1.0 <= d <= 2.5
+
+    def test_spacing_scales_distance(self):
+        a = np.zeros((20, 20, 20), bool)
+        b = np.zeros((20, 20, 20), bool)
+        a[5:10, 5:10, 5:10] = True
+        b[7:12, 5:10, 5:10] = True
+        d1 = hd95(a, b, voxelspacing=(1, 1, 1))
+        d2 = hd95(a, b, voxelspacing=(2, 1, 1))
+        assert d2 > d1

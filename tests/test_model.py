@@ -61,6 +61,16 @@ def test_train_forward_contract(tiny_model_and_params):
         assert np.isfinite(np.asarray(o)).all()
 
 
+def test_eval_on_different_divisible_size(tiny_model_and_params):
+    """Like the reference, the window pyramid is fixed by the config but
+    gathering follows the runtime tensor — any divisible input size must
+    work (speed_test/sliding-window feed different shapes)."""
+    model, params = tiny_model_and_params
+    x = jnp.ones((1, 64, 64, 64, 2))
+    y = model.apply(params, x, train=False)
+    assert y.shape == (1, 64, 64, 64, 2)
+
+
 def test_single_modality_brats_style():
     cfg = TINY.replace(in_ch=(4,), n_classes=4)
     model = VeloxSeg(cfg)

@@ -60,8 +60,11 @@ def test_sharded_step_matches_single_device():
     loss_obj = CompositeLoss("VeloxSeg", train_cfg, num_modal=2)
 
     def fresh_state():
+        # the single-device step donates its state; give each state its
+        # own param buffers
         tx = build_optimizer("adamw", {"lr": 2.5e-4, "weight_decay": 0.01})
-        return create_train_state(model, variables["params"], tx)
+        params = jax.tree_util.tree_map(jnp.copy, variables["params"])
+        return create_train_state(model, params, tx)
 
     # Single-device.
     step1 = train_step_fn(loss_obj)

@@ -25,7 +25,7 @@ from typing import Callable, Dict, List, Optional, Sequence
 import numpy as np
 
 from ..utils.runtime import validate_file_groups
-from .nifti import load_nifti
+from .nifti_fast import load_nifti_fast as load_nifti
 from .transforms import (crop_foreground, rand_crop_by_pos_neg_label,
                          rand_rotate_z)
 

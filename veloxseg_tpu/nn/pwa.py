@@ -123,15 +123,20 @@ def window_gather(x: jnp.ndarray, layout: WindowLayout,
 
 
 def window_scatter(tokens: jnp.ndarray, layout: WindowLayout,
-                   c_per: int) -> jnp.ndarray:
+                   c_per: int, spatial=None) -> jnp.ndarray:
     """(B, h, ΣN_p, l, c) tokens -> (B, D, H, W, P·h·c) voxels.
 
     Per pair: trilinear align-corners upsample of the per-window token grid
     back to big-window size (``PWA.py:190``), then inverse of the gather
-    reshapes; pair outputs concatenate along channels.
+    reshapes; pair outputs concatenate along channels. ``spatial`` is the
+    runtime feature size (like the reference, the window pyramid comes from
+    the configured input size but gathering follows the actual tensor —
+    any divisible input works, e.g. sliding-window tiles of a different
+    size than the training patch).
     """
     b, heads = tokens.shape[:2]
-    spatial = layout.input_size
+    if spatial is None:
+        spatial = layout.input_size
     tok = layout.tokens_per_axis
     outs = []
     idx = 0
@@ -240,10 +245,11 @@ class MultiModalPWA(nn.Module):
             preferred_element_type=jnp.float32).astype(v.dtype)
 
         l = layout.tokens_per_window
+        spatial = xs[0].shape[1:4]
         outs = []
         for m in range(m_count):
             am = attn[:, :, :, m * l:(m + 1) * l]
-            am = window_scatter(am, layout, layout.dim_v)
+            am = window_scatter(am, layout, layout.dim_v, spatial)
             am = nn.Dense(self.in_channels[m], kernel_init=he_normal,
                           name=f"mix_{m}")(am)
             am = nn.Dropout(self.proj_drop)(am, deterministic=deterministic)

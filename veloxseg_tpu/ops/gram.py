@@ -25,5 +25,6 @@ def gram_matrix(x: jnp.ndarray) -> jnp.ndarray:
         xf, xf,
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
     )
     return g / float(c * spatial)

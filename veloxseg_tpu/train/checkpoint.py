@@ -28,16 +28,17 @@ def save_checkpoint(path: str, params, opt_state=None, *,
                     best_val_dice: float = 0.0,
                     scheduler_state: Optional[dict] = None) -> None:
     payload = {
-        "params": jax.device_get(params),
-        "opt_state": jax.device_get(opt_state)
-        if opt_state is not None else None,
+        # to_state_dict flattens optax namedtuple states to plain dicts —
+        # msgpack can't encode custom pytree nodes directly.
+        "params": serialization.to_state_dict(jax.device_get(params)),
+        "opt_state": serialization.to_state_dict(
+            jax.device_get(opt_state)) if opt_state is not None else None,
         "epoch": epoch,
         "best_train_dice": float(best_train_dice),
         "best_val_dice": float(best_val_dice),
         "scheduler_state": scheduler_state or {},
     }
-    data = serialization.msgpack_serialize(
-        jax.tree_util.tree_map(lambda x: x, payload))
+    data = serialization.msgpack_serialize(payload)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".",
                                suffix=".tmp")
@@ -48,6 +49,16 @@ def save_checkpoint(path: str, params, opt_state=None, *,
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
+
+
+def _jnp_leaves(tree):
+    """msgpack_restore yields numpy leaves; convert to device arrays so
+    restored params behave identically to freshly-initialized ones (numpy
+    leaves inside jit traces both re-upload every call and break
+    numpy-side indexing)."""
+    import jax.numpy as jnp
+    return jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x) if hasattr(x, "shape") else x, tree)
 
 
 def load_checkpoint(path: str, params_template=None,
@@ -62,6 +73,9 @@ def load_checkpoint(path: str, params_template=None,
             and payload.get("opt_state") is not None):
         payload["opt_state"] = serialization.from_state_dict(
             opt_state_template, payload["opt_state"])
+    payload["params"] = _jnp_leaves(payload.get("params"))
+    if payload.get("opt_state") is not None:
+        payload["opt_state"] = _jnp_leaves(payload["opt_state"])
     return payload
 
 
@@ -73,4 +87,4 @@ def load_params(path: str, params_template=None):
         else payload
     if params_template is not None:
         params = serialization.from_state_dict(params_template, params)
-    return params
+    return _jnp_leaves(params)

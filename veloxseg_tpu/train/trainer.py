@@ -1,0 +1,317 @@
+"""Training driver — the TPU-native equivalent of the reference's three
+per-dataset trainers (``utils/train_autopet.py`` / ``train_hecktor.py`` /
+``train_brats2021.py``).
+
+One generic loop parameterized by a dataset profile (the three reference
+files differ only in modality keys, foreground-crop usage and label/metric
+handling — C5-C7 in SURVEY §2). Behavior parity:
+
+- sorted-filename 60/20/20 split, effective batch = batch_size·num_samples
+- epoch loop with warmup→main scheduler handoff stepped per epoch
+- labels collapsed to binary for PET/CT datasets (``train_autopet.py:236``)
+- val every ``val_interval`` epochs; checkpoints ``<epoch>.ckpt`` every
+  ``save_model_interval`` + ``train_best`` / ``val_best`` under
+  ``save/<dataset>/<model>/<MM_DD>[_index]/``
+- TensorBoard scalars per iteration + per epoch, file+stdout logging
+
+TPU-native deltas: one jitted train step (model+loss+backward+optimizer
+fused), device metrics with 1-step-lagged host fetch so the tunnel sync
+overlaps compute, threaded host-side data pipeline.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+import time
+from datetime import datetime
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.dataset import (PatchLoader, SegmentationDataset,
+                            default_train_transform, default_val_transform)
+from ..models.registry import load_model
+from ..utils.logger import get_logger
+from ..utils.runtime import (rotation_range_from_degrees,
+                             validate_selected_modal)
+from .checkpoint import load_checkpoint, save_checkpoint
+from .loss import CompositeLoss
+from .metrics import segmentation_metrics
+from .metrics_brats import brats_dice
+from .optim import EpochScheduler, build_optimizer
+from .train_state import create_train_state, eval_step_fn, train_step_fn
+
+
+@dataclasses.dataclass(frozen=True)
+class DatasetProfile:
+    glob_keys: Tuple[str, ...]      # train-config dataset_path keys, order
+    modality_names: Tuple[str, ...]
+    use_foreground_crop: bool
+    binary_label: bool
+    raw_modal_count: int
+
+
+PROFILES: Dict[str, DatasetProfile] = {
+    "AutoPETII": DatasetProfile(("ct_path", "pet_path"), ("ct", "pet"),
+                                True, True, 2),
+    "Hecktor2022": DatasetProfile(("ct_path", "pet_path"), ("ct", "pet"),
+                                  False, True, 2),
+    "BraTS2021": DatasetProfile(
+        ("flair_path", "t1_path", "t1ce_path", "t2_path"),
+        ("flair", "t1", "t1ce", "t2"), False, False, 4),
+}
+
+
+def set_learning_rate(state, lr: float):
+    """Update the injected LR hyper-parameter without recompiling."""
+    opt_state = state.opt_state
+    hp = dict(opt_state.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return state.replace(opt_state=opt_state._replace(hyperparams=hp))
+
+
+def _fetch_aux(aux) -> Dict[str, float]:
+    return {k: float(v) for k, v in aux.items()}
+
+
+def run_train(args, train_config: dict, model_config: dict) -> dict:
+    """Main entry — signature parity with reference ``run_train``."""
+    profile = PROFILES[args.dataset_name]
+    if args.model_name not in model_config:
+        raise ValueError(
+            f"Model {args.model_name!r} not present in the model config; "
+            f"available: {sorted(model_config)}")
+    date = datetime.now().strftime("%m_%d")
+
+    # Resume re-derives the run dir from the checkpoint path
+    # (``train_autopet.py:69-86``).
+    if getattr(args, "checkpoint_path", None):
+        date = os.path.basename(
+            os.path.dirname(args.checkpoint_path)) or date
+        index = ""
+    else:
+        index = (f"_{args.model_index}"
+                 if getattr(args, "model_index", None) else "")
+
+    save_path = os.path.join(train_config["save_path"], args.dataset_name,
+                             args.model_name, date + index)
+    os.makedirs(save_path, exist_ok=True)
+    logger = get_logger(os.path.join(
+        train_config.get("log_path", save_path),
+        f"{args.dataset_name}_{args.model_name}_{date}{index}.log"))
+    logger.info(f"Checkpoint Save path: {save_path}")
+    logger.info(f"Now Model Config: \n{model_config[args.model_name]}\n")
+
+    in_ch = model_config[args.model_name].get("in_ch", [1, 1])
+    num_modal = len(in_ch) if isinstance(in_ch, (list, tuple)) else 1
+    modal_index = validate_selected_modal(
+        args.model_name, model_config,
+        raw_modal_count=profile.raw_modal_count,
+        select_modal=getattr(args, "select_modal", None))
+    logger.info(f"Modal_index: {modal_index}")
+
+    # Dataset --------------------------------------------------------
+    patterns = {name: train_config["dataset_path"][args.dataset_name][k]
+                for k, name in zip(profile.glob_keys,
+                                   profile.modality_names)}
+    patterns["label"] = \
+        train_config["dataset_path"][args.dataset_name]["label_path"]
+    dataset = SegmentationDataset.from_globs(patterns, args.dataset_name)
+    train_files, val_files, _ = dataset.split(
+        train_config["train_rate"], train_config["val_rate"])
+    logger.info(f"The number of samples: {dataset.length}")
+    logger.info(f"Training set includes: {len(train_files)}")
+    logger.info(f"Validation set includes: {len(val_files)}")
+
+    patch_size = train_config["patch_size"][args.dataset_name]
+    num_workers = getattr(args, "num_workers", 4)
+    train_loader = PatchLoader(
+        train_files, profile.modality_names,
+        default_train_transform(
+            patch_size, num_samples=2, rotate_prob=0.5,
+            range_z=rotation_range_from_degrees(15),
+            use_foreground_crop=profile.use_foreground_crop),
+        batch_size=train_config["batch_size"], num_samples=2,
+        num_workers=num_workers, shuffle=True,
+        modal_index=modal_index, binary_label=profile.binary_label)
+    val_loader = PatchLoader(
+        val_files, profile.modality_names,
+        default_val_transform(
+            patch_size, num_samples=2,
+            use_foreground_crop=profile.use_foreground_crop),
+        batch_size=train_config["batch_size"], num_samples=2,
+        num_workers=num_workers, shuffle=False,
+        modal_index=modal_index, binary_label=profile.binary_label)
+
+    # Model / optimizer / loss --------------------------------------
+    model = load_model(args.model_name, model_config)
+    example = jnp.zeros(
+        (1, *patch_size,
+         sum(in_ch) if isinstance(in_ch, (list, tuple)) else in_ch),
+        jnp.float32)
+    variables = jax.jit(model.init, static_argnames="train")(
+        {"params": jax.random.PRNGKey(12345),
+         "dropout": jax.random.PRNGKey(54321)}, example, train=True)
+
+    opt_cfg = train_config["optimizer"]
+    tx = build_optimizer(opt_cfg["optimizer_type"],
+                         opt_cfg["optimizer_args"])
+    state = create_train_state(model, variables["params"], tx)
+    scheduler = EpochScheduler(train_config)
+    loss_obj = CompositeLoss(args.model_name, train_config,
+                             num_modal=num_modal)
+
+    start_epoch = 0
+    best_train_dice = 0.0
+    best_val_dice = 0.0
+    if getattr(args, "checkpoint_path", None):
+        payload = load_checkpoint(args.checkpoint_path,
+                                  params_template=state.params,
+                                  opt_state_template=state.opt_state)
+        state = state.replace(params=payload["params"],
+                              opt_state=payload["opt_state"])
+        start_epoch = payload["epoch"] + 1
+        best_train_dice = payload["best_train_dice"]
+        best_val_dice = payload["best_val_dice"]
+        scheduler.load_state_dict(payload.get("scheduler_state", {}))
+        logger.info(f"Resumed from {args.checkpoint_path} at epoch "
+                    f"{start_epoch}")
+
+    step = train_step_fn(loss_obj, compute_dtype=jnp.bfloat16)
+    eval_step = eval_step_fn(model.apply)
+
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+        writer = SummaryWriter(os.path.join(save_path, "logs"))
+    except Exception:   # pragma: no cover - tensorboard optional
+        writer = None
+
+    rng = jax.random.PRNGKey(12345)
+    iteration = 0
+    epochs = train_config["epochs"]
+    show_deep = train_config.get("show_deep_metric", True)
+
+    def log_train_aux(aux_f, epoch, it_in_epoch, n_batches):
+        nonlocal iteration
+        msg = (f"train {epoch + 1}/{epochs} {it_in_epoch}/{n_batches} "
+               f"Training Loss:{aux_f['loss']:.4f} "
+               f"[FP:{aux_f.get('fp_rate', 0):.4f}, "
+               f"FN:{aux_f.get('fn_rate', 0):.4f}, "
+               f"IoU:{aux_f.get('iou', 0):.4f}, "
+               f"Dice:{aux_f.get('dice', 0):.4f}]")
+        logger.info(msg)
+        if writer is not None:
+            writer.add_scalar("Training Loss", aux_f["loss"], iteration)
+            writer.add_scalar("Training FP", aux_f.get("fp_rate", 0),
+                              iteration)
+            writer.add_scalar("Training FN", aux_f.get("fn_rate", 0),
+                              iteration)
+            writer.add_scalar("Training IOU", aux_f.get("iou", 0),
+                              iteration)
+            writer.add_scalar("Training Dice", aux_f.get("dice", 0),
+                              iteration)
+
+    for epoch in range(start_epoch, epochs):
+        state = set_learning_rate(state, scheduler.learning_rate(epoch))
+        start = time.time()
+        totals = {"loss": 0.0, "fp_rate": 0.0, "fn_rate": 0.0,
+                  "iou": 0.0, "dice": 0.0}
+        n_batches = 0
+        pending = None  # 1-step-lagged aux fetch
+        logger.info(f"\n*** Start Epoch {epoch + 1} Training ***\n")
+        for it, (xs, ys) in enumerate(train_loader):
+            iteration += 1
+            rng, step_key = jax.random.split(rng)
+            x = jnp.asarray(xs)
+            y = jnp.asarray(ys)
+            state, aux = step(state, x, y, step_key)
+            if pending is not None:
+                aux_f = _fetch_aux(pending)
+                for k in totals:
+                    totals[k] += aux_f.get(k, 0.0)
+                log_train_aux(aux_f, epoch, it - 1, len(train_loader))
+            pending = aux
+            n_batches += 1
+        if pending is not None:
+            aux_f = _fetch_aux(pending)
+            for k in totals:
+                totals[k] += aux_f.get(k, 0.0)
+            log_train_aux(aux_f, epoch, n_batches - 1, len(train_loader))
+
+        means = {k: v / max(n_batches, 1) for k, v in totals.items()}
+        mean_dice = means["dice"]
+
+        if epoch % train_config["save_model_interval"] == 0:
+            save_checkpoint(
+                os.path.join(save_path, f"{epoch}.ckpt"), state.params,
+                state.opt_state, epoch=epoch,
+                best_train_dice=best_train_dice,
+                best_val_dice=best_val_dice,
+                scheduler_state=scheduler.state_dict())
+        if mean_dice >= best_train_dice:
+            logger.info(f"get new best dice {best_train_dice} -> "
+                        f"{mean_dice}, save new 'train_best.ckpt'")
+            best_train_dice = mean_dice
+            save_checkpoint(
+                os.path.join(save_path, "train_best.ckpt"), state.params,
+                state.opt_state, epoch=epoch,
+                best_train_dice=best_train_dice,
+                best_val_dice=best_val_dice,
+                scheduler_state=scheduler.state_dict())
+
+        logger.info(
+            f"training epoch {epoch + 1}: average "
+            f"[FP:{means['fp_rate']:.4f}, FN:{means['fn_rate']:.4f}, "
+            f"IoU:{means['iou']:.4f}, Dice:{mean_dice:.4f}] "
+            f"loss {means['loss']:.4f} time {time.time() - start:.1f}s")
+
+        # Validation --------------------------------------------------
+        if (epoch + 1) % train_config["val_interval"] == 0:
+            logger.info(f"\n*** Start Epoch {epoch + 1} Validating ***\n")
+            vtotals = None
+            vn = 0
+            for xs, ys in val_loader:
+                pred, logits = eval_step(state.params, jnp.asarray(xs))
+                y = jnp.asarray(ys)
+                if profile.binary_label:
+                    m = {k: float(v) for k, v in
+                         segmentation_metrics(y, pred).items()}
+                    mkeys = ("fp_rate", "fn_rate", "iou", "dice")
+                else:
+                    m = {k: float(v) for k, v in
+                         brats_dice(pred, y).items()}
+                    mkeys = ("avg", "et", "tc", "wt")
+                vtotals = (m if vtotals is None else
+                           {k: vtotals[k] + m[k] for k in vtotals})
+                vn += 1
+            if vn:
+                vmeans = {k: v / vn for k, v in vtotals.items()}
+                val_dice = vmeans.get("dice", vmeans.get("avg", 0.0))
+                logger.info(f"validation epoch {epoch + 1}: "
+                            + " ".join(f"{k}:{v:.4f}"
+                                       for k, v in vmeans.items()))
+                if writer is not None:
+                    for k, v in vmeans.items():
+                        writer.add_scalar(f"Val {k}", v, epoch)
+                scheduler.plateau_step(val_dice)
+                if val_dice >= best_val_dice:
+                    logger.info(f"get new best dice {best_val_dice} -> "
+                                f"{val_dice}, save new 'val_best.ckpt'")
+                    best_val_dice = val_dice
+                    save_checkpoint(
+                        os.path.join(save_path, "val_best.ckpt"),
+                        state.params, state.opt_state, epoch=epoch,
+                        best_train_dice=best_train_dice,
+                        best_val_dice=best_val_dice,
+                        scheduler_state=scheduler.state_dict())
+
+    if writer is not None:
+        writer.close()
+    return {"best_train_dice": best_train_dice,
+            "best_val_dice": best_val_dice,
+            "save_path": save_path,
+            "state": state}
