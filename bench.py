@@ -1,14 +1,18 @@
 """Benchmark harness.
 
-Headline metric (reference protocol parity, ``speed_test.py:117-134``):
-eval-forward throughput of the flagship VeloxSeg AutoPET config on
-96³ PET+CT patches, mixed precision (bf16 compute — the TPU analogue of
-the reference's fp16 autocast), batch ≤ 16. Baseline: 599.06 patches/s on
-an RTX 3090 (reference README.md:215).
+Headline metric = the BASELINE.json north star: VeloxSeg training
+throughput (fwd+bwd+optimizer, full composite loss) in 128³ patches/sec
+on one chip, compared against the reference's published 599.06 patches/s
+(RTX 3090, fp16, *forward-only* at 96³ — the only published throughput;
+the north star explicitly asks for ≥3× that figure measured fwd+bwd at
+128³, see BASELINE.md).
 
-Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-Extra diagnostic metrics go to stderr.
+Prints ONE JSON line; secondary metrics (the reference-protocol
+forward-only run) go to stderr. Run with --fwd-only for just the
+reference protocol.
+
+Protocol: bf16 compute / fp32 master params, batch 16, jitted+donated
+train step, ~3 s warmup + ~10 s timed.
 """
 
 from __future__ import annotations
@@ -22,7 +26,7 @@ import jax.numpy as jnp
 
 BASELINE_GPU_PATCHES_PER_S = 599.06
 WARMUP_S = 3.0
-TIMED_S = 12.0
+TIMED_S = 10.0
 
 
 def _cast_tree(tree, dtype):
@@ -31,52 +35,113 @@ def _cast_tree(tree, dtype):
         if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
 
 
-def bench_forward(batch: int = 16, size=(96, 96, 96), channels: int = 2,
-                  dtype=jnp.bfloat16) -> float:
+def _flagship(size):
     from veloxseg_tpu.core.config import VeloxSegConfig
     from veloxseg_tpu.nn.veloxseg import VeloxSeg
 
     cfg = VeloxSegConfig().replace(depths=(1, 1, 1, 1),
                                    input_size=tuple(size))
-    model = VeloxSeg(cfg)
+    if size[0] % 3 != 0:
+        # power-of-two window pyramid for sizes 3³ windows can't tile
+        cfg = cfg.replace(min_big_window_sizes=(
+            (4, 4, 4), (8, 8, 8), (4, 4, 4), (4, 4, 4)))
+    return VeloxSeg(cfg), cfg
 
+
+def bench_forward(batch=16, size=(96, 96, 96), channels=2):
+    model, cfg = _flagship(size)
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (batch, *size, channels), jnp.float32)
-    variables = model.init(rng, x[:1], train=False)
-    params = _cast_tree(variables["params"], dtype)
-    x = x.astype(dtype)
+    variables = jax.jit(model.init, static_argnames="train")(
+        rng, x[:1], train=False)
+    params = _cast_tree(variables["params"], jnp.bfloat16)
+    x = x.astype(jnp.bfloat16)
 
     @jax.jit
     def fwd(params, x):
         return model.apply({"params": params}, x, train=False)
 
-    # Warmup (includes compile).
-    out = fwd(params, x)
-    jax.block_until_ready(out)
+    jax.block_until_ready(fwd(params, x))
     t0 = time.perf_counter()
     while time.perf_counter() - t0 < WARMUP_S:
         jax.block_until_ready(fwd(params, x))
-
     iters = 0
     t0 = time.perf_counter()
     while True:
         jax.block_until_ready(fwd(params, x))
         iters += 1
-        elapsed = time.perf_counter() - t0
-        if elapsed >= TIMED_S:
+        dt = time.perf_counter() - t0
+        if dt >= TIMED_S:
             break
-    return batch * iters / elapsed
+    return batch * iters / dt
+
+
+def bench_train(batch=16, size=(128, 128, 128), channels=2):
+    import numpy as np
+    from veloxseg_tpu.train.loss import CompositeLoss
+    from veloxseg_tpu.train.optim import build_optimizer
+    from veloxseg_tpu.train.train_state import (create_train_state,
+                                                train_step_fn)
+
+    model, cfg = _flagship(size)
+    key = jax.random.PRNGKey(0)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((batch, *size, channels)),
+                    dtype=jnp.float32)
+    y = jnp.asarray((rng.standard_normal((batch, *size)) > 1.2),
+                    dtype=jnp.int32)
+    variables = jax.jit(model.init, static_argnames="train")(
+        {"params": key, "dropout": key}, x[:1], train=True)
+    tcfg = {"deep_Loss_weight": [1, 1, 1, 1], "RC_Loss_weight": 0.5,
+            "Feature_Loss_weight": 2.0}
+    loss_obj = CompositeLoss("VeloxSeg", tcfg, num_modal=channels)
+    tx = build_optimizer("adamw", {"lr": 2.5e-4, "weight_decay": 0.01})
+    state = create_train_state(model, variables["params"], tx)
+    step = train_step_fn(loss_obj, compute_dtype=jnp.bfloat16)
+
+    state, aux = step(state, x, y, key)
+    jax.block_until_ready(aux["loss"])
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < WARMUP_S:
+        state, aux = step(state, x, y, key)
+        jax.block_until_ready(aux["loss"])
+    iters = 0
+    t0 = time.perf_counter()
+    while True:
+        state, aux = step(state, x, y, key)
+        iters += 1
+        if iters % 10 == 0:
+            jax.block_until_ready(aux["loss"])
+            if time.perf_counter() - t0 >= TIMED_S:
+                break
+    jax.block_until_ready(aux["loss"])
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
 
 
 def main():
-    dev = jax.devices()[0]
-    print(f"device: {dev}", file=sys.stderr)
-    throughput = bench_forward()
+    print(f"device: {jax.devices()[0]}", file=sys.stderr)
+    if "--fwd-only" in sys.argv:
+        throughput = bench_forward()
+        print(json.dumps({
+            "metric": "veloxseg_96cube_fwd_patches_per_s",
+            "value": round(throughput, 2),
+            "unit": "patches/s",
+            "vs_baseline": round(throughput / BASELINE_GPU_PATCHES_PER_S,
+                                 3),
+        }))
+        return
+    fwd = bench_forward()
+    print(f"secondary: 96^3 eval fwd (reference protocol) = "
+          f"{fwd:.2f} patches/s = "
+          f"{fwd / BASELINE_GPU_PATCHES_PER_S:.1f}x baseline",
+          file=sys.stderr)
+    train = bench_train()
     print(json.dumps({
-        "metric": "veloxseg_autopet_96cube_fwd_patches_per_s",
-        "value": round(throughput, 2),
+        "metric": "veloxseg_128cube_train_fwd_bwd_patches_per_s",
+        "value": round(train, 2),
         "unit": "patches/s",
-        "vs_baseline": round(throughput / BASELINE_GPU_PATCHES_PER_S, 3),
+        "vs_baseline": round(train / BASELINE_GPU_PATCHES_PER_S, 3),
     }))
 
 

@@ -33,6 +33,13 @@ CASES = [
                  "hidden_size": 256, "num_heads": 4,
                  "depths": [1, 1, 1, 1], "dims": [32, 64, 128, 256],
                  "do_ds": True}, (32, 32, 32), 2, 2),
+    ("SwinUNETR", {"in_channels": 2, "out_channels": 2}, (32, 32, 32),
+     2, 2),
+    ("A2FSeg", {"modality_num": 2, "base_num_features": 16,
+                "num_classes": 2, "num_pool": 5}, (32, 32, 32), 2, 2),
+    ("NestedFormer", {"model_num": 2, "out_channels": 2,
+                      "image_size": [48, 48, 48],
+                      "window_size": [3, 3, 3]}, (48, 48, 48), 2, 2),
 ]
 
 

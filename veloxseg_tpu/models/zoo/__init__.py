@@ -16,3 +16,6 @@ from . import urwkv         # noqa: F401  U-RWKV
 from . import hdense        # noqa: F401  HDense
 from . import ukan          # noqa: F401  U-KAN
 from . import unetrpp       # noqa: F401  UNETRpp
+from . import swin_unetr    # noqa: F401  SwinUNETR
+from . import a2fseg        # noqa: F401  A2FSeg
+from . import nestedformer  # noqa: F401  NestedFormer

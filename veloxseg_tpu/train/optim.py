@@ -36,9 +36,12 @@ def build_optimizer(optimizer_type: str, optimizer_args: dict
         return optax.inject_hyperparams(
             lambda learning_rate: make(learning_rate))(learning_rate=lr)
     if optimizer_type == "adamw":
+        # optax.flatten fuses the per-leaf update chain into one flat
+        # buffer — ~300 param leaves otherwise cost ~5 ms/step of
+        # per-buffer dispatch on TPU (see PERF_NOTES.md).
         return optax.inject_hyperparams(
-            lambda learning_rate: optax.adamw(
-                learning_rate, weight_decay=float(wd)))(learning_rate=lr)
+            lambda learning_rate: optax.flatten(optax.adamw(
+                learning_rate, weight_decay=float(wd))))(learning_rate=lr)
     if optimizer_type == "sgd":
         momentum = optimizer_args.get("momentum")
         def make_sgd(learning_rate):
