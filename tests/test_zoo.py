@@ -40,6 +40,11 @@ CASES = [
     ("NestedFormer", {"model_num": 2, "out_channels": 2,
                       "image_size": [48, 48, 48],
                       "window_size": [3, 3, 3]}, (48, 48, 48), 2, 2),
+    ("VSmTrans", {"in_channels": 2, "out_channels": 2, "feature_size": 24,
+                  "split_size": [1, 2, 3, 4], "window_size": 6,
+                  "num_heads": [3, 6, 12, 24], "img_size": [32, 32, 32],
+                  "depths": [2, 2, 2, 2], "patch_size": [2, 2, 2],
+                  "do_ds": True}, (32, 32, 32), 2, 2),
 ]
 
 

@@ -19,3 +19,4 @@ from . import unetrpp       # noqa: F401  UNETRpp
 from . import swin_unetr    # noqa: F401  SwinUNETR
 from . import a2fseg        # noqa: F401  A2FSeg
 from . import nestedformer  # noqa: F401  NestedFormer
+from . import vsmtrans      # noqa: F401  VSmTrans

@@ -38,6 +38,7 @@ from ..models.registry import load_model
 from ..utils.logger import get_logger
 from ..utils.runtime import (rotation_range_from_degrees,
                              validate_selected_modal)
+from ..utils.seed import DEFAULT_SEED, seed_everything
 from .checkpoint import load_checkpoint, save_checkpoint
 from .loss import CompositeLoss
 from .metrics import segmentation_metrics
@@ -153,9 +154,10 @@ def run_train(args, train_config: dict, model_config: dict) -> dict:
         (1, *patch_size,
          sum(in_ch) if isinstance(in_ch, (list, tuple)) else in_ch),
         jnp.float32)
+    root_key = seed_everything(DEFAULT_SEED)  # reference seed 12345 (C17)
+    init_key, dropout_key, rng = jax.random.split(root_key, 3)
     variables = jax.jit(model.init, static_argnames="train")(
-        {"params": jax.random.PRNGKey(12345),
-         "dropout": jax.random.PRNGKey(54321)}, example, train=True)
+        {"params": init_key, "dropout": dropout_key}, example, train=True)
 
     opt_cfg = train_config["optimizer"]
     tx = build_optimizer(opt_cfg["optimizer_type"],
@@ -190,7 +192,6 @@ def run_train(args, train_config: dict, model_config: dict) -> dict:
     except Exception:   # pragma: no cover - tensorboard optional
         writer = None
 
-    rng = jax.random.PRNGKey(12345)
     iteration = 0
     epochs = train_config["epochs"]
     show_deep = train_config.get("show_deep_metric", True)
