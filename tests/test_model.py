@@ -13,6 +13,8 @@ import pytest
 from veloxseg_tpu.core.config import VeloxSegConfig
 from veloxseg_tpu.nn.veloxseg import VeloxSeg
 
+pytestmark = pytest.mark.slow  # full-model XLA compiles
+
 TINY = VeloxSegConfig(
     input_size=(32, 32, 32),
     patch_size=4,

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-model XLA compiles
+
 
 def test_eight_virtual_devices():
     assert len(jax.devices()) == 8

@@ -15,6 +15,8 @@ from veloxseg_tpu.train.checkpoint import (load_checkpoint, load_params,
 from veloxseg_tpu.train.loss import CompositeLoss
 from veloxseg_tpu.train.optim import EpochScheduler, build_optimizer
 from veloxseg_tpu.train.train_state import (create_train_state,
+
+pytestmark = pytest.mark.slow  # full-model XLA compiles
                                             train_step_fn)
 
 TRAIN_CFG = {

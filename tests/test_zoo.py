@@ -8,6 +8,8 @@ import pytest
 
 from veloxseg_tpu.models.registry import available_models, load_model
 
+pytestmark = pytest.mark.slow  # full-model XLA compiles
+
 # (name, config entry, input spatial, in_ch, out_ch)
 CASES = [
     ("UNet", {"in_channels": 2, "out_channels": 2}, (32, 32, 32), 2, 2),
@@ -45,6 +47,9 @@ CASES = [
                   "num_heads": [3, 6, 12, 24], "img_size": [32, 32, 32],
                   "depths": [2, 2, 2, 2], "patch_size": [2, 2, 2],
                   "do_ds": True}, (32, 32, 32), 2, 2),
+    ("HCMA-UNet", {"in_channels": 2, "n_classes": 2,
+                   "patch_ini": [32, 32, 32], "predict_mode": True},
+     (32, 32, 32), 2, 2),
 ]
 
 

@@ -39,9 +39,17 @@ class SegDecoder(nn.Module):
     deep_supervision: bool = False
 
     @nn.compact
-    def __call__(self, enc1, enc2, enc3, enc4, deterministic: bool):
+    def __call__(self, encs, deterministic: bool):
+        """``encs`` is the per-level feature pyramid, finest first.
+
+        Generalized to ``len(encs)`` levels; for the reference 4-level
+        configuration the parameter names (``up{1..3}``, ``layer{1..3}``,
+        ``out_conv{1..4}``) match the reference modules one-to-one.
+        """
+        num_levels = len(encs)
         c = self.base_ch
-        groups = [c * 2 ** i // self.min_dim_group[i] for i in range(4)]
+        groups = [c * 2 ** i // self.min_dim_group[i]
+                  for i in range(num_levels)]
 
         def jlc(i):
             return JLCLayer(depth=self.depths[i],
@@ -50,24 +58,29 @@ class SegDecoder(nn.Module):
                             expansion_factor=self.expansion_factor[i],
                             dropout=self.dropout, name=f"layer{i + 1}")
 
-        up3 = jlc(2)(enc3 + UpConv(c * 4, name="up3")(enc4), deterministic)
-        up2 = jlc(1)(enc2 + UpConv(c * 2, name="up2")(up3), deterministic)
-        up1 = jlc(0)(enc1 + UpConv(c, name="up1")(up2), deterministic)
+        # Up path: level L-1 feature → … → level-1 feature. ``feats[t]`` is
+        # the decoded feature at (1-indexed) level t; feats[L] is the raw
+        # deepest encoder output (used by the last deep-supervision head,
+        # ``model/Decoder.py:158``).
+        feats = {num_levels: encs[-1]}
+        h = encs[-1]
+        for t in range(num_levels - 1, 0, -1):
+            h = jlc(t - 1)(
+                encs[t - 1] + UpConv(c * 2 ** (t - 1), name=f"up{t}")(h),
+                deterministic)
+            feats[t] = h
 
         p = self.patch_size
         out = GroupedConv3d(features=p ** 3 * self.out_ch,
-                            kernel_size=(3, 3, 3), name="out_conv1")(up1)
+                            kernel_size=(3, 3, 3), name="out_conv1")(feats[1])
         out = pixel_shuffle_3d(out, p)
 
         preds: List[jnp.ndarray] = [out]
         if self.deep_supervision:
-            preds.append(nn.Dense(self.out_ch, kernel_init=he_normal,
-                                  name="out_conv2")(up2))
-            preds.append(nn.Dense(self.out_ch, kernel_init=he_normal,
-                                  name="out_conv3")(up3))
-            preds.append(nn.Dense(self.out_ch, kernel_init=he_normal,
-                                  name="out_conv4")(enc4))
-        return preds, gram_matrix(up1)
+            for t in range(2, num_levels + 1):
+                preds.append(nn.Dense(self.out_ch, kernel_init=he_normal,
+                                      name=f"out_conv{t}")(feats[t]))
+        return preds, gram_matrix(feats[1])
 
 
 class RCDecoder(nn.Module):
@@ -89,19 +102,20 @@ class RCDecoder(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, enc1, enc2, enc3, enc4, deterministic: bool):
+    def __call__(self, encs, deterministic: bool):
+        """``encs``: per-level concat(attn_m, fused enc), finest first."""
+        num_levels = len(encs)
         c = self.dec_channel
 
         def adapt(x, mult, name):
             y = nn.Dense(c * mult, kernel_init=he_normal, name=name)(x)
             return InstanceNorm()(y)
 
-        enc4 = adapt(enc4, 8, "enc2rc_4")
-        enc3 = adapt(enc3, 4, "enc2rc_3")
-        enc2 = adapt(enc2, 2, "enc2rc_2")
-        enc1 = adapt(enc1, 1, "enc2rc_1")
+        encs = [adapt(encs[i], 2 ** i, f"enc2rc_{i + 1}")
+                for i in range(num_levels)]
 
-        groups = [c * 2 ** i // self.min_dim_group[i] for i in range(4)]
+        groups = [c * 2 ** i // self.min_dim_group[i]
+                  for i in range(num_levels)]
 
         def jlc(i):
             return JLCLayer(depth=self.depths[i],
@@ -110,12 +124,14 @@ class RCDecoder(nn.Module):
                             expansion_factor=self.expansion_factor[i],
                             dropout=self.dropout, name=f"layer{i + 1}")
 
-        up3 = jlc(2)(enc3 + UpConv(c * 4, name="up3")(enc4), deterministic)
-        up2 = jlc(1)(enc2 + UpConv(c * 2, name="up2")(up3), deterministic)
-        up1 = jlc(0)(enc1 + UpConv(c, name="up1")(up2), deterministic)
+        h = encs[-1]
+        for t in range(num_levels - 1, 0, -1):
+            h = jlc(t - 1)(
+                encs[t - 1] + UpConv(c * 2 ** (t - 1), name=f"up{t}")(h),
+                deterministic)
 
         p = self.patch_size
         rec = GroupedConv3d(features=p ** 3 * self.in_channel,
-                            kernel_size=(3, 3, 3), name="out_conv")(up1)
+                            kernel_size=(3, 3, 3), name="out_conv")(h)
         rec = pixel_shuffle_3d(rec, p)
-        return rec, gram_matrix(up1)
+        return rec, gram_matrix(h)

@@ -36,23 +36,25 @@ class ConvEncoder(nn.Module):
 
     def setup(self):
         c = self.base_ch
-        self.down1 = DownConv(c, patch_size=self.patch_size)
-        self.down2 = DownConv(c * 2, patch_size=2)
-        self.down3 = DownConv(c * 4, patch_size=2)
-        self.down4 = DownConv(c * 8, patch_size=2)
-        groups = [c * 2 ** i // self.min_dim_group[i] for i in range(4)]
+        n = len(self.depths)
+        self.downs = [
+            DownConv(c * 2 ** i,
+                     patch_size=self.patch_size if i == 0 else 2,
+                     name=f"down{i + 1}")
+            for i in range(n)
+        ]
+        groups = [c * 2 ** i // self.min_dim_group[i] for i in range(n)]
         self.layers = [
             JLCLayer(depth=self.depths[i], kernel_sizes=self.kernel_sizes,
                      groups=groups[i],
                      expansion_factor=self.expansion_factor[i],
                      dropout=self.dropout, name=f"layer{i + 1}")
-            for i in range(4)
+            for i in range(n)
         ]
 
     def __call__(self, x: jnp.ndarray, deterministic: bool):
-        downs = [self.down1, self.down2, self.down3, self.down4]
         encs = []
-        for down, layer in zip(downs, self.layers):
+        for down, layer in zip(self.downs, self.layers):
             x = layer(down(x), deterministic)
             encs.append(x)
         return tuple(encs)
@@ -198,8 +200,9 @@ class Encoder(nn.Module):
 
         # Modal mixers: concat modality features → 1×1 conv + IN
         # (``model/Encoder.py:334-337``).
+        num_levels = len(self.conv_depths)
         mixed = []
-        for i in range(4):
+        for i in range(num_levels):
             cat = jnp.concatenate(attn_feats[i], axis=-1)
             y = nn.Dense(self.base_ch * 2 ** i, kernel_init=he_normal,
                          name=f"attn2conv_{i + 1}")(cat)
@@ -208,10 +211,11 @@ class Encoder(nn.Module):
         # Interleaved conv pyramid with per-level attention fusion
         # (``model/Encoder.py:351-361``).
         c = self.base_ch
-        groups = [c * 2 ** i // self.min_dim_group[i] for i in range(4)]
+        groups = [c * 2 ** i // self.min_dim_group[i]
+                  for i in range(num_levels)]
         enc_feats = []
         h = x
-        for i in range(4):
+        for i in range(num_levels):
             h = DownConv(c * 2 ** i,
                          patch_size=self.patch_size if i == 0 else 2,
                          name=f"conv_down{i + 1}")(h) + mixed[i]

@@ -65,7 +65,6 @@ class VeloxSeg(nn.Module):
             name="encoder",
         )
         attn_feats, encs = encoder(x, deterministic)
-        enc1, enc2, enc3, enc4 = encs
 
         decoder = SegDecoder(
             patch_size=cfg.patch_size,
@@ -79,7 +78,7 @@ class VeloxSeg(nn.Module):
             deep_supervision=cfg.deep_supervision,
             name="decoder",
         )
-        preds, dec_gram = decoder(enc1, enc2, enc3, enc4, deterministic)
+        preds, dec_gram = decoder(encs, deterministic)
 
         if not train:
             return preds[0]
@@ -103,8 +102,8 @@ class VeloxSeg(nn.Module):
             # Teachers see both branches: concat(attn_m, fused enc) per level
             # (``model/VeloxSeg.py:211-212``).
             ins = [jnp.concatenate([attn_feats[lvl][m], encs[lvl]], axis=-1)
-                   for lvl in range(4)]
-            rc, rc_gram = rc_dec(*ins, deterministic)
+                   for lvl in range(cfg.num_levels)]
+            rc, rc_gram = rc_dec(ins, deterministic)
             rcs.append(rc)
             rc_grams.append(rc_gram)
         recons = jnp.concatenate(rcs, axis=-1)
