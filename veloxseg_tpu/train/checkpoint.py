@@ -80,7 +80,16 @@ def load_checkpoint(path: str, params_template=None,
 
 
 def load_params(path: str, params_template=None):
-    """Load params only — accepts full checkpoints or bare param trees."""
+    """Load params only — accepts full checkpoints or bare param trees.
+
+    ``.pth`` files are reference PyTorch checkpoints (wrapped or bare state
+    dicts, ``utils/inference_petct.py:95-101``) and are mapped onto the
+    flax tree via :mod:`veloxseg_tpu.interop.torch_import` — so a
+    reference-trained VeloxSeg model evaluates here unchanged.
+    """
+    if path.endswith(".pth"):
+        from ..interop.torch_import import import_torch_checkpoint
+        return _jnp_leaves(import_torch_checkpoint(path, params_template))
     with open(path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
     params = payload.get("params", payload) if isinstance(payload, dict) \
