@@ -27,6 +27,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--model_index", type=str, default=None,
                         help="Markdown index of the model")
     parser.add_argument("--select_modal", type=int, default=None)
+    parser.add_argument(
+        "--mesh", type=str, default=None,
+        help="SPMD device mesh: 'auto' or 'data=N[,spatial=M]'. Default: "
+             "single-device. (TPU-native addition; the reference is "
+             "single-GPU.)")
     return parser
 
 

@@ -56,3 +56,47 @@ def label_sharding(mesh: Mesh, spatial_shard: bool = True) -> NamedSharding:
 
 def replicate_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def parse_mesh_spec(spec: Optional[str]) -> Optional[Mesh]:
+    """Build a mesh from a CLI spec.
+
+    ``None``/empty → no mesh (single-device step). ``"auto"`` → all local
+    devices, factored (data × spatial). ``"data=4"`` / ``"data=4,spatial=2"``
+    → explicit axis sizes (uses the first data·spatial devices).
+    """
+    if not spec:
+        return None
+    if spec == "auto":
+        return make_mesh()
+    kw = {}
+    for part in spec.split(","):
+        k, _, v = part.partition("=")
+        if k.strip() not in ("data", "spatial") or not v:
+            raise ValueError(
+                f"bad --mesh spec {spec!r}; expected 'auto' or "
+                f"'data=N[,spatial=M]'")
+        kw[k.strip()] = int(v)
+    data = kw.get("data")
+    spatial = kw.get("spatial", 1)
+    if data is None:
+        data = jax.device_count() // spatial
+    n = data * spatial
+    if n > jax.device_count():
+        raise ValueError(f"--mesh {spec!r} needs {n} devices, have "
+                         f"{jax.device_count()}")
+    return make_mesh(jax.devices()[:n], data=data, spatial=spatial)
+
+
+def shard_host_batch(x, sharding: NamedSharding):
+    """Place a host batch onto the mesh.
+
+    Multi-process: each host contributes its local shard
+    (``jax.make_array_from_process_local_data`` — SURVEY §5 comm-backend
+    plan). Single-process (incl. virtual CPU meshes): a plain device_put,
+    which XLA splits across the addressable devices.
+    """
+    x = np.asarray(x)
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, x)
+    return jax.device_put(x, sharding)

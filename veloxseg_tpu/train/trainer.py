@@ -183,7 +183,38 @@ def run_train(args, train_config: dict, model_config: dict) -> dict:
         logger.info(f"Resumed from {args.checkpoint_path} at epoch "
                     f"{start_epoch}")
 
-    step = train_step_fn(loss_obj, compute_dtype=jnp.bfloat16)
+    # Device mesh (TPU-native addition — the reference is single-GPU).
+    # ``--mesh`` shards the batch over ``data`` (grad all-reduce via psum)
+    # and optionally the leading spatial axis over ``spatial``.
+    from ..parallel.mesh import parse_mesh_spec
+    mesh = parse_mesh_spec(getattr(args, "mesh", None))
+    x_shard = None
+    y_shard = None
+    if mesh is not None:
+        from ..parallel.mesh import (batch_sharding, label_sharding,
+                                     replicate_sharding, shard_host_batch)
+        from ..parallel.sharded_step import make_sharded_train_step
+        eff_batch = train_config["batch_size"] * 2  # num_samples=2
+        data_size = mesh.shape["data"]
+        spatial_size = mesh.shape["spatial"]
+        if eff_batch % data_size:
+            raise ValueError(
+                f"effective batch {eff_batch} (batch_size×num_samples) "
+                f"must divide by mesh data axis {data_size}")
+        spatial_shard = spatial_size > 1
+        if spatial_shard and patch_size[0] % spatial_size:
+            raise ValueError(
+                f"patch depth {patch_size[0]} must divide by mesh spatial "
+                f"axis {spatial_size}")
+        logger.info(f"SPMD mesh: {dict(mesh.shape)}")
+        step = make_sharded_train_step(mesh, loss_obj,
+                                       compute_dtype=jnp.bfloat16,
+                                       spatial_shard=spatial_shard)
+        state = jax.device_put(state, replicate_sharding(mesh))
+        x_shard = batch_sharding(mesh, spatial_shard)
+        y_shard = label_sharding(mesh, spatial_shard)
+    else:
+        step = train_step_fn(loss_obj, compute_dtype=jnp.bfloat16)
     eval_step = eval_step_fn(model.apply)
 
     try:
@@ -227,8 +258,12 @@ def run_train(args, train_config: dict, model_config: dict) -> dict:
         for it, (xs, ys) in enumerate(train_loader):
             iteration += 1
             rng, step_key = jax.random.split(rng)
-            x = jnp.asarray(xs)
-            y = jnp.asarray(ys)
+            if mesh is not None:
+                x = shard_host_batch(xs, x_shard)
+                y = shard_host_batch(np.asarray(ys), y_shard)
+            else:
+                x = jnp.asarray(xs)
+                y = jnp.asarray(ys)
             state, aux = step(state, x, y, step_key)
             if pending is not None:
                 aux_f = _fetch_aux(pending)
