@@ -20,3 +20,4 @@ from . import swin_unetr    # noqa: F401  SwinUNETR
 from . import a2fseg        # noqa: F401  A2FSeg
 from . import nestedformer  # noqa: F401  NestedFormer
 from . import vsmtrans      # noqa: F401  VSmTrans
+from . import hcma          # noqa: F401  HCMA-UNet
