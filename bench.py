@@ -119,6 +119,45 @@ def bench_train(batch=16, size=(128, 128, 128), channels=2):
     return batch * iters / dt
 
 
+def bench_sliding_window(size=(192, 192, 192), roi=(96, 96, 96),
+                         sw_batch=4, channels=2):
+    """Whole-volume sliding-window eval — the north star's second metric
+    (volumes/sec, overlap 0.25, constant blending, reference protocol)."""
+    from veloxseg_tpu.infer.sliding_window import sliding_window_inference
+
+    model, cfg = _flagship(roi)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (1, *size, channels), jnp.float32)
+    variables = jax.jit(model.init, static_argnames="train")(
+        rng, jnp.zeros((1, *roi, channels)), train=False)
+    params = _cast_tree(variables["params"], jnp.bfloat16)
+    x = x.astype(jnp.bfloat16)
+
+    def predictor(p, tiles):
+        return model.apply({"params": p}, tiles, train=False)
+
+    def one_volume():
+        out = sliding_window_inference(
+            x, roi, sw_batch, predictor, overlap=0.25, mode="constant",
+            params=params)
+        jax.block_until_ready(out)
+        return out
+
+    one_volume()  # compile
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < WARMUP_S:
+        one_volume()
+    vols = 0
+    t0 = time.perf_counter()
+    while True:
+        one_volume()
+        vols += 1
+        dt = time.perf_counter() - t0
+        if dt >= TIMED_S:
+            break
+    return vols / dt
+
+
 def main():
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
     if "--fwd-only" in sys.argv:
@@ -136,12 +175,17 @@ def main():
           f"{fwd:.2f} patches/s = "
           f"{fwd / BASELINE_GPU_PATCHES_PER_S:.1f}x baseline",
           file=sys.stderr)
+    sw = bench_sliding_window()
+    print(f"secondary: sliding-window whole-volume (192^3, 96^3 ROI, "
+          f"overlap .25) = {sw:.2f} volumes/s", file=sys.stderr)
     train = bench_train()
     print(json.dumps({
         "metric": "veloxseg_128cube_train_fwd_bwd_patches_per_s",
         "value": round(train, 2),
         "unit": "patches/s",
         "vs_baseline": round(train / BASELINE_GPU_PATCHES_PER_S, 3),
+        "sliding_window_volumes_per_s": round(sw, 3),
+        "eval_96cube_fwd_patches_per_s": round(fwd, 2),
     }))
 
 

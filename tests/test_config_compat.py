@@ -39,5 +39,5 @@ def test_our_configs_match_reference_schema():
     assert tc.batch_size == 2 and tc.epochs == 300
     with open("config/models_config_autopetii.json") as f:
         cfg = json.load(f)
-    assert len(cfg) == 16  # all implemented models present
+    assert len(cfg) == 17  # all implemented models present (17/17 registry)
     VeloxSegConfig.from_dict(cfg["VeloxSeg"])

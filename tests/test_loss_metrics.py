@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 import torch
 
+import jax
 import jax.numpy as jnp
 
 from veloxseg_tpu.train.loss import CompositeLoss, dice_loss, softmax_ce_loss
@@ -119,3 +120,33 @@ def test_brats_dice_regions():
     assert float(res2["wt"]) == pytest.approx(1.0, abs=1e-4)
     assert float(res2["tc"]) == pytest.approx(1.0, abs=1e-4)
     assert float(res2["et"]) < 0.1
+
+
+def test_metric_outputs_strips_veloxseg_tail():
+    from veloxseg_tpu.train.loss import CompositeLoss
+    cfg = {"deep_Loss_weight": [1, 1, 1, 1], "RC_Loss_weight": 0.5,
+           "Feature_Loss_weight": 2.0}
+    loss = CompositeLoss("VeloxSeg", cfg, num_modal=2)
+    # 4 seg heads + recon + student gram + 2 teacher grams = 8 outputs
+    outs = [jnp.zeros((1, 4, 4, 4, 2)) + i for i in range(8)]
+    heads = loss.metric_outputs(outs)
+    assert len(heads) == 4
+    assert float(heads[-1][0, 0, 0, 0, 0]) == 3.0
+    # non-VeloxSeg models report on the raw list
+    loss2 = CompositeLoss("HDense", cfg, num_modal=1)
+    assert len(loss2.metric_outputs(outs[:3])) == 3
+    assert len(loss2.metric_outputs(outs[0])) == 1
+
+
+def test_deep_metrics_per_head():
+    from veloxseg_tpu.train.metrics import deep_metrics
+    rng = np.random.default_rng(0)
+    labels = jnp.asarray((rng.standard_normal((2, 6, 6, 6)) > 0.5)
+                         .astype(np.int32))
+    perfect = jax.nn.one_hot(labels, 2) * 10.0
+    wrong = jax.nn.one_hot(1 - labels, 2) * 10.0
+    per_head = deep_metrics([perfect, wrong], labels)
+    assert len(per_head) == 2
+    assert float(per_head[0]["dice"]) == pytest.approx(1.0, abs=1e-3)
+    assert float(per_head[1]["dice"]) == pytest.approx(0.0, abs=1e-3)
+    assert int(per_head[0]["pred_pix"]) == int(per_head[0]["label_pix"])

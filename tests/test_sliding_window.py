@@ -71,3 +71,45 @@ def test_cpu_accumulate_matches_device():
     host = sliding_window_inference(x, (64, 64, 64), 2, pred, 0.25,
                                     cpu_accumulate=True)
     np.testing.assert_allclose(np.asarray(dev), np.asarray(host), atol=1e-5)
+
+
+def test_ragged_tail_single_trace():
+    # 100/64 @ overlap .25 -> 2 origins on axis 0, 1 elsewhere = 2 tiles;
+    # sw_batch_size=3 leaves a ragged tail that must be padded, not
+    # retraced: the predictor sees exactly one (padded) batch shape.
+    shapes = []
+
+    def predictor(t):
+        shapes.append(tuple(t.shape))
+        return t * 2.0
+
+    x = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (1, 100, 64, 64, 2)).astype(np.float32))
+    out = sliding_window_inference(x, (64, 64, 64), 3, predictor, 0.25)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x) * 2.0,
+                               atol=1e-5)
+    assert len(shapes) == 1, f"predictor retraced: {shapes}"
+    assert shapes[0][0] == 3
+
+
+def test_single_program_params_path_matches_legacy():
+    # params-arg predictor → whole volume as one jitted program; must
+    # agree with the legacy per-batch dispatch path.
+    x = jnp.asarray(np.random.default_rng(4).standard_normal(
+        (1, 100, 64, 64, 2)).astype(np.float32))
+    w = jnp.asarray([[0.5, -1.0], [2.0, 0.25]], jnp.float32)
+    legacy = sliding_window_inference(
+        x, (64, 64, 64), 2, lambda t: t @ w, 0.25)
+    fused = sliding_window_inference(
+        x, (64, 64, 64), 2, lambda p, t: t @ p, 0.25, params=w)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(legacy),
+                               atol=1e-5)
+
+
+def test_single_program_gaussian_identity():
+    x = jnp.asarray(np.random.default_rng(5).standard_normal(
+        (1, 100, 64, 64, 2)).astype(np.float32))
+    out = sliding_window_inference(
+        x, (64, 64, 64), 2, lambda p, t: t * p, 0.25, mode="gaussian",
+        params=jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-4)

@@ -15,9 +15,9 @@ from veloxseg_tpu.train.checkpoint import (load_checkpoint, load_params,
 from veloxseg_tpu.train.loss import CompositeLoss
 from veloxseg_tpu.train.optim import EpochScheduler, build_optimizer
 from veloxseg_tpu.train.train_state import (create_train_state,
+                                            train_step_fn)
 
 pytestmark = pytest.mark.slow  # full-model XLA compiles
-                                            train_step_fn)
 
 TRAIN_CFG = {
     "deep_Loss_weight": [1, 1, 1, 1],

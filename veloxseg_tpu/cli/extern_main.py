@@ -89,11 +89,12 @@ def main(argv=None):
          "dropout": jax.random.PRNGKey(1)}, example, train=True)
 
     all_rows = []
+    # Stable fn object across checkpoints → the cached volume runner is
+    # reused (params are runtime arguments, not baked into the program).
+    predictor = lambda p, t: model.apply({"params": p}, t, train=False)
     for ckpt in args.checkpoints.split(","):
         ckpt = ckpt.strip()
         params = load_params(ckpt, params_template=variables["params"])
-        predictor = lambda t: model.apply({"params": params}, t,
-                                          train=False)
         logger.info(f"=== checkpoint {ckpt} ===")
         for img_f, lab_f in zip(images, labels):
             t0 = time.time()
@@ -114,7 +115,7 @@ def main(argv=None):
                 x = vol
             logits = sliding_window_inference(
                 jnp.asarray(x[None]), patch_size, args.sw_batch_size,
-                predictor, overlap=overlap)
+                predictor, overlap=overlap, params=params)
             pred = np.argmax(np.asarray(logits[0]), axis=-1)
             m = {k: float(v) for k, v in segmentation_metrics(
                 jnp.asarray((labd != 0).astype(np.int32)[None]),

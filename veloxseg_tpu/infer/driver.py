@@ -102,7 +102,9 @@ def run_inference(args, train_config: dict, model_config: dict,
          "dropout": jax.random.PRNGKey(1)}, example, train=True)
     params = load_params(ckpt_path, params_template=variables["params"])
 
-    predictor = lambda t: model.apply({"params": params}, t, train=False)
+    # (params, tiles) signature → the sliding window runs each volume as
+    # one jitted program (params passed as arguments, not HLO constants).
+    predictor = lambda p, t: model.apply({"params": p}, t, train=False)
     overlap = test_config.get("sliding_window", {}).get("overlap", 0.25)
     use_hd95 = bool(getattr(args, "use_hd95", 0))
 
@@ -123,7 +125,7 @@ def run_inference(args, train_config: dict, model_config: dict,
             jnp.asarray(x[None]), patch_size,
             sw_batch_size=getattr(args, "sw_batch_size", 4),
             predictor=predictor, overlap=overlap, mode="constant",
-            cpu_accumulate=big)
+            cpu_accumulate=big, params=params)
         logits = np.asarray(logits[0])
         pred = np.argmax(logits, axis=-1).astype(np.int32)
         elapsed = time.time() - t0

@@ -17,6 +17,7 @@ ping-pong unless ``cpu_accumulate`` is requested.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Callable, List, Sequence, Tuple
 
@@ -71,28 +72,101 @@ def functools_reduce_outer(axes_maps: List[np.ndarray]) -> np.ndarray:
     return out
 
 
+@functools.lru_cache(maxsize=16)
+def _volume_runner(predictor, roi: Tuple[int, ...], sw_batch_size: int,
+                   b: int, c: int, k: int, padded_spatial: Tuple[int, ...],
+                   overlap: float):
+    """One jitted XLA program for a whole volume: ``lax.scan`` over tile
+    batches, each doing extract → predict → blend-accumulate on device.
+
+    A single dispatch per volume — the per-batch Python loop costs ~4 host
+    round-trips per tile batch, which on a tunneled TPU (30 ms latency)
+    makes dispatch, not compute, the bottleneck. Params and the importance
+    map are explicit arguments so nothing large is inlined into the HLO as
+    a constant (multi-MB constants stall remote compiles).
+
+    Cached on (predictor, shape signature): drivers build their predictor
+    once per model, so repeat volumes of the same shape reuse the
+    executable.
+    """
+    origins = compute_tile_origins(padded_spatial, roi, overlap)
+    n_real = len(origins)
+    n_pad = (-n_real) % sw_batch_size
+    all_origins = origins + [origins[0]] * n_pad
+    nb = len(all_origins) // sw_batch_size
+    ndim = len(roi)
+    org = np.asarray(all_origins, np.int32).reshape(
+        nb, sw_batch_size, ndim)
+    val = (np.arange(len(all_origins)) < n_real).astype(
+        np.float32).reshape(nb, sw_batch_size)
+
+    def run(params, inputs, imp):
+        out_sum = jnp.zeros((b, *padded_spatial, k), jnp.float32)
+        cnt = jnp.zeros((1, *padded_spatial, 1), jnp.float32)
+
+        def extract(origin):
+            start = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), origin,
+                 jnp.zeros((1,), jnp.int32)])
+            return jax.lax.dynamic_slice(
+                inputs, start, (b, *roi, inputs.shape[-1]))
+
+        def tile_body(carry, xs):
+            acc, cn = carry
+            tile, origin, v = xs
+            start = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), origin,
+                 jnp.zeros((1,), jnp.int32)])
+            w = imp * v
+            cur = jax.lax.dynamic_slice(acc, start, (b, *roi, k))
+            acc = jax.lax.dynamic_update_slice(acc, cur + tile * w, start)
+            cur_c = jax.lax.dynamic_slice(cn, start, (1, *roi, 1))
+            cn = jax.lax.dynamic_update_slice(cn, cur_c + w, start)
+            return (acc, cn), None
+
+        def batch_body(carry, xs):
+            ob, vb = xs
+            tiles = jax.vmap(extract)(ob).reshape(
+                (-1, *roi, inputs.shape[-1]))
+            logits = predictor(params, tiles).astype(jnp.float32)
+            logits = logits.reshape((sw_batch_size, b, *roi, k))
+            return jax.lax.scan(tile_body, carry, (logits, ob, vb))[0], None
+
+        (out_sum, cnt), _ = jax.lax.scan(
+            batch_body, (out_sum, cnt),
+            (jnp.asarray(org), jnp.asarray(val)))
+        return out_sum / cnt
+
+    return jax.jit(run)
+
+
 def sliding_window_inference(
     inputs: jnp.ndarray,
     roi_size: Sequence[int],
     sw_batch_size: int,
-    predictor: Callable[[jnp.ndarray], jnp.ndarray],
+    predictor: Callable[..., jnp.ndarray],
     overlap: float = 0.25,
     mode: str = "constant",
     cpu_accumulate: bool = False,
+    params=None,
 ) -> jnp.ndarray:
     """Tile, predict, blend.
 
     Args:
       inputs: (B, D, H, W, C) volume (channels-last).
       roi_size: patch size (D, H, W).
-      predictor: jittable fn (n, *roi, C) -> (n, *roi, K) logits.
+      predictor: jittable fn (n, *roi, C) -> (n, *roi, K) logits — or,
+        when ``params`` is given, ``(params, tiles) -> logits``.
       mode: 'constant' (reference default) or 'gaussian' blending.
       cpu_accumulate: accumulate sums on host (for whole-body volumes).
+      params: optional model params pytree. When set (and not
+        ``cpu_accumulate``) the whole volume runs as ONE jitted program —
+        tile extraction, model forward and blending inside a ``lax.scan``
+        — instead of a host loop of per-batch dispatches.
 
     Returns (B, D, H, W, K) blended logits.
     """
     b, *spatial, c = inputs.shape
-    ndim = len(spatial)
     roi = [int(r) for r in roi_size]
 
     # Pad volumes smaller than the ROI (symmetric, zeros — MONAI parity).
@@ -104,9 +178,6 @@ def sliding_window_inference(
         inputs = jnp.pad(inputs, [(0, 0)] + pads + [(0, 0)])
     padded_spatial = inputs.shape[1:-1]
 
-    origins = compute_tile_origins(padded_spatial, roi, overlap)
-    predictor = jax.jit(predictor)  # predictor is jittable by contract
-
     if mode == "constant":
         importance = np.ones(roi, dtype=np.float32)
     elif mode == "gaussian":
@@ -114,18 +185,51 @@ def sliding_window_inference(
     else:
         raise ValueError(f"unknown blend mode {mode!r}")
 
-    @jax.jit
-    def extract(vol, origin):
-        start = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32), origin,
-             jnp.zeros((1,), jnp.int32)])
-        return jax.lax.dynamic_slice(
-            vol, start, (vol.shape[0], *roi, vol.shape[-1]))
-
-    # Probe output channels with one tile.
-    first = predictor(extract(inputs, jnp.zeros((ndim,), jnp.int32)))
-    k = first.shape[-1]
+    # Probe output channels without running the predictor.
+    tiles_shape = jax.ShapeDtypeStruct(
+        (sw_batch_size * b, *roi, inputs.shape[-1]), inputs.dtype)
+    if params is not None:
+        k = jax.eval_shape(predictor, params, tiles_shape).shape[-1]
+    else:
+        k = jax.eval_shape(predictor, tiles_shape).shape[-1]
     imp = jnp.asarray(importance)[None, ..., None]
+
+    if params is not None and not cpu_accumulate:
+        run = _volume_runner(predictor, tuple(roi), sw_batch_size, b, c,
+                             int(k), tuple(padded_spatial), overlap)
+        blended = run(params, inputs, imp)
+        if any(p != (0, 0) for p in pads):
+            slices = tuple(slice(p[0], p[0] + s)
+                           for p, s in zip(pads, spatial))
+            blended = blended[(slice(None),) + slices + (slice(None),)]
+        return blended
+
+    if params is not None:
+        pred_jit = jax.jit(predictor)
+        predictor = lambda t: pred_jit(params, t)  # noqa: E731
+    else:
+        predictor = jax.jit(predictor)  # predictor is jittable by contract
+
+    origins = compute_tile_origins(padded_spatial, roi, overlap)
+
+    # Pad the origin list to a multiple of sw_batch_size so every predictor
+    # call sees the same static tile-batch shape — one compile total, no
+    # ragged-tail recompile. Padded slots reuse origin 0 and carry weight 0
+    # in the accumulation.
+    n_real = len(origins)
+    n_pad = (-n_real) % sw_batch_size
+    all_origins = origins + [origins[0]] * n_pad
+
+    @jax.jit
+    def extract_batch(vol, origin_batch):
+        def one(origin):
+            start = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), origin,
+                 jnp.zeros((1,), jnp.int32)])
+            return jax.lax.dynamic_slice(
+                vol, start, (vol.shape[0], *roi, vol.shape[-1]))
+        tiles = jax.vmap(one)(origin_batch)  # (n, b, *roi, c)
+        return tiles.reshape((-1, *roi, vol.shape[-1]))
 
     if cpu_accumulate:
         out_sum = np.zeros((b, *padded_spatial, k), dtype=np.float32)
@@ -134,39 +238,54 @@ def sliding_window_inference(
         out_sum = jnp.zeros((b, *padded_spatial, k), dtype=jnp.float32)
         cnt = jnp.zeros((1, *padded_spatial, 1), dtype=jnp.float32)
 
-        @jax.jit
-        def accumulate(out_sum, cnt, tile_logits, origin):
-            start = jnp.concatenate(
-                [jnp.zeros((1,), jnp.int32), origin,
-                 jnp.zeros((1,), jnp.int32)])
-            cur = jax.lax.dynamic_slice(
-                out_sum, start, (b, *roi, k))
-            out_sum = jax.lax.dynamic_update_slice(
-                out_sum, cur + tile_logits * imp, start)
-            cur_c = jax.lax.dynamic_slice(cnt, start, (1, *roi, 1))
-            cnt = jax.lax.dynamic_update_slice(cnt, cur_c + imp, start)
+        # NB: the importance map is an explicit argument, never a closure
+        # capture — a captured array would be inlined into the jitted HLO
+        # as a multi-MB constant (slow remote compiles on tunneled TPUs).
+        # Donating the accumulators keeps the updates in-place.
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def accumulate_batch(out_sum, cnt, logits, origin_batch, valid,
+                             imp_arg):
+            tiles = logits.reshape((sw_batch_size, b, *roi, k))
+
+            def body(carry, xs):
+                acc, c = carry
+                tile, origin, v = xs
+                start = jnp.concatenate(
+                    [jnp.zeros((1,), jnp.int32), origin,
+                     jnp.zeros((1,), jnp.int32)])
+                w = imp_arg * v
+                cur = jax.lax.dynamic_slice(acc, start, (b, *roi, k))
+                acc = jax.lax.dynamic_update_slice(
+                    acc, cur + tile * w, start)
+                cur_c = jax.lax.dynamic_slice(c, start, (1, *roi, 1))
+                c = jax.lax.dynamic_update_slice(c, cur_c + w, start)
+                return (acc, c), None
+
+            (out_sum, cnt), _ = jax.lax.scan(
+                body, (out_sum, cnt), (tiles, origin_batch, valid))
             return out_sum, cnt
 
     np_imp = importance[None, ..., None]
-    idx = 0
-    while idx < len(origins):
-        batch_origins = origins[idx:idx + sw_batch_size]
-        tiles = jnp.concatenate(
-            [extract(inputs, jnp.asarray(o, jnp.int32))
-             for o in batch_origins], axis=0)
-        logits = predictor(tiles).astype(jnp.float32)
-        for j, o in enumerate(batch_origins):
-            tile_logits = logits[j * b:(j + 1) * b]
-            if cpu_accumulate:
+    for idx in range(0, len(all_origins), sw_batch_size):
+        batch_origins = all_origins[idx:idx + sw_batch_size]
+        ob = jnp.asarray(batch_origins, jnp.int32)
+        logits = predictor(extract_batch(inputs, ob)).astype(jnp.float32)
+        if cpu_accumulate:
+            logits_np = np.asarray(logits)
+            for j, o in enumerate(batch_origins):
+                if idx + j >= n_real:
+                    break
                 sl = (slice(None),) + tuple(
                     slice(s, s + r) for s, r in zip(o, roi)) + (
                     slice(None),)
-                out_sum[sl] += np.asarray(tile_logits) * np_imp
+                out_sum[sl] += logits_np[j * b:(j + 1) * b] * np_imp
                 cnt[sl[:1] + sl[1:-1] + (slice(None),)] += np_imp
-            else:
-                out_sum, cnt = accumulate(
-                    out_sum, cnt, tile_logits, jnp.asarray(o, jnp.int32))
-        idx += sw_batch_size
+        else:
+            valid = jnp.asarray(
+                (np.arange(idx, idx + sw_batch_size) < n_real)
+                .astype(np.float32))
+            out_sum, cnt = accumulate_batch(out_sum, cnt, logits, ob,
+                                            valid, imp)
 
     if cpu_accumulate:
         blended = jnp.asarray(out_sum / cnt)

@@ -16,14 +16,16 @@ import jax
 import jax.numpy as jnp
 
 from ..train.loss import CompositeLoss
-from ..train.metrics import segmentation_metrics
+from ..train.metrics import (deep_metrics, pred_from_logits,
+                             segmentation_metrics)
 from ..train.train_state import TrainState, _cast_tree
 from .mesh import batch_sharding, label_sharding, replicate_sharding
 
 
 def make_sharded_train_step(mesh, loss_obj: CompositeLoss,
                             compute_dtype=None, spatial_shard: bool = True,
-                            with_metrics: bool = True):
+                            with_metrics: bool = True,
+                            deep_metric_heads: bool = False):
     """Jitted SPMD train step with mesh shardings baked in.
 
     ``step(state, inputs, labels, rng) -> (state, aux)``; inputs must be
@@ -50,16 +52,21 @@ def make_sharded_train_step(mesh, loss_obj: CompositeLoss,
             outs = state.apply_fn({"params": p}, x, train=True,
                                   rngs={"dropout": rng})
             loss = loss_obj(outs, labels, sr_labels=x.astype(jnp.float32))
-            return loss, outs[0]
+            heads = (loss_obj.metric_outputs(outs) if deep_metric_heads
+                     else [outs[0] if isinstance(outs, (list, tuple))
+                           else outs])
+            return loss, heads
 
-        (loss, head0), grads = jax.value_and_grad(
+        (loss, heads), grads = jax.value_and_grad(
             _loss, has_aux=True)(state.params)
         grads = _cast_tree(grads, jnp.float32)
         state = state.apply_gradients(grads=grads)
         aux = {"loss": loss}
         if with_metrics:
             aux.update(segmentation_metrics(
-                labels, jnp.argmax(head0, axis=-1)))
+                labels, pred_from_logits(heads[0])))
+            if deep_metric_heads:
+                aux["deep"] = tuple(deep_metrics(heads, labels))
         return state, aux
 
     return step

@@ -23,11 +23,13 @@ import jax
 from flax import serialization
 
 
-def save_checkpoint(path: str, params, opt_state=None, *,
-                    epoch: int = 0, best_train_dice: float = 0.0,
-                    best_val_dice: float = 0.0,
-                    scheduler_state: Optional[dict] = None) -> None:
-    payload = {
+def build_payload(params, opt_state=None, *, epoch: int = 0,
+                  best_train_dice: float = 0.0,
+                  best_val_dice: float = 0.0,
+                  scheduler_state: Optional[dict] = None) -> Dict[str, Any]:
+    """Full-training-state payload (reference ``save_checkpoint`` dict
+    contract, ``utils/load_model.py:90-109``)."""
+    return {
         # to_state_dict flattens optax namedtuple states to plain dicts —
         # msgpack can't encode custom pytree nodes directly.
         "params": serialization.to_state_dict(jax.device_get(params)),
@@ -38,6 +40,16 @@ def save_checkpoint(path: str, params, opt_state=None, *,
         "best_val_dice": float(best_val_dice),
         "scheduler_state": scheduler_state or {},
     }
+
+
+def save_checkpoint(path: str, params, opt_state=None, *,
+                    epoch: int = 0, best_train_dice: float = 0.0,
+                    best_val_dice: float = 0.0,
+                    scheduler_state: Optional[dict] = None) -> None:
+    payload = build_payload(params, opt_state, epoch=epoch,
+                            best_train_dice=best_train_dice,
+                            best_val_dice=best_val_dice,
+                            scheduler_state=scheduler_state)
     data = serialization.msgpack_serialize(payload)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".",
@@ -63,9 +75,17 @@ def _jnp_leaves(tree):
 
 def load_checkpoint(path: str, params_template=None,
                     opt_state_template=None) -> Dict[str, Any]:
-    """Load a checkpoint; templates restore exact dtypes/structure."""
-    with open(path, "rb") as f:
-        payload = serialization.msgpack_restore(f.read())
+    """Load a checkpoint; templates restore exact dtypes/structure.
+
+    Accepts both msgpack files and Orbax checkpoint directories (the
+    async-save format, :mod:`veloxseg_tpu.train.orbax_ckpt`).
+    """
+    if os.path.isdir(path):
+        from .orbax_ckpt import restore_payload
+        payload = restore_payload(path)
+    else:
+        with open(path, "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
     if params_template is not None and payload.get("params") is not None:
         payload["params"] = serialization.from_state_dict(
             params_template, payload["params"])
@@ -90,8 +110,12 @@ def load_params(path: str, params_template=None):
     if path.endswith(".pth"):
         from ..interop.torch_import import import_torch_checkpoint
         return _jnp_leaves(import_torch_checkpoint(path, params_template))
-    with open(path, "rb") as f:
-        payload = serialization.msgpack_restore(f.read())
+    if os.path.isdir(path):
+        from .orbax_ckpt import restore_payload
+        payload = restore_payload(path)
+    else:
+        with open(path, "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
     params = payload.get("params", payload) if isinstance(payload, dict) \
         else payload
     if params_template is not None:

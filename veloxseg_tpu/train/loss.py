@@ -84,6 +84,20 @@ class CompositeLoss:
             loss = loss + w * self.seg_loss(out, labels)
         return loss
 
+    def metric_outputs(self, output) -> List[jnp.ndarray]:
+        """Seg-head logits handed to per-head metric reporting.
+
+        Reference-trainer parity (``utils/train_autopet.py:246-254``): for
+        VeloxSeg the non-prediction tail (reconstruction + student gram +
+        per-modality teacher grams = ``2 + num_modal`` entries) is stripped;
+        every other model reports on its raw output list.
+        """
+        if not isinstance(output, (list, tuple)):
+            return [output]
+        if self.model_name == "VeloxSeg":
+            return list(output[:-(2 + self.num_modal)])
+        return list(output)
+
     def __call__(self, output: List[jnp.ndarray], labels: jnp.ndarray,
                  sr_labels: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         name = self.model_name

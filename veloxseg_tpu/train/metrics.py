@@ -53,14 +53,34 @@ def segmentation_metrics(gt: jnp.ndarray, pred: jnp.ndarray
     }
 
 
+def pred_from_logits(logits: jnp.ndarray) -> jnp.ndarray:
+    """Class prediction from channels-last logits.
+
+    Binary fast path: argmax over a minor axis of 2 compiles to a
+    pathological layout on TPU; a compare is one fused pass.
+    """
+    if logits.shape[-1] == 2:
+        return (logits[..., 1] > logits[..., 0]).astype(jnp.int32)
+    return jnp.argmax(logits, axis=-1)
+
+
 def deep_metrics(outputs: Sequence[jnp.ndarray], labels: jnp.ndarray
                  ) -> List[Dict[str, jnp.ndarray]]:
     """Per-head metrics for deep-supervision outputs (channels-last logits).
 
     Mirrors ``show_deep_metrics`` (``utils/metric/metrics.py:6-25``) minus
-    the string formatting, which belongs to the logger.
+    the string formatting, which belongs to the logger. Each head's dict
+    also carries the foreground voxel counts the reference prints
+    (``pix:{output.sum()}/{labels.sum()}``).
     """
     if not isinstance(outputs, (list, tuple)):
         outputs = [outputs]
-    return [segmentation_metrics(labels, jnp.argmax(o, axis=-1))
-            for o in outputs]
+    per_head = []
+    label_pix = jnp.sum((labels != 0).astype(jnp.int32))
+    for o in outputs:
+        pred = pred_from_logits(o)
+        m = segmentation_metrics(labels, pred)
+        m["pred_pix"] = jnp.sum((pred != 0).astype(jnp.int32))
+        m["label_pix"] = label_pix
+        per_head.append(m)
+    return per_head

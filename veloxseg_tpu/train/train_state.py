@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from flax.training import train_state as flax_train_state
 
 from .loss import CompositeLoss
-from .metrics import segmentation_metrics
+from .metrics import deep_metrics, pred_from_logits, segmentation_metrics
 
 
 class TrainState(flax_train_state.TrainState):
@@ -43,11 +43,15 @@ def train_step_fn(
     loss_obj: CompositeLoss,
     compute_dtype: Optional[Any] = None,
     with_metrics: bool = True,
+    deep_metric_heads: bool = False,
 ) -> Callable:
     """Build the jitted train step.
 
     Returns ``step(state, inputs, labels, rng) -> (state, aux)`` where
-    ``aux`` holds the scalar loss and (optionally) head-0 metrics.
+    ``aux`` holds the scalar loss and (optionally) head-0 metrics; with
+    ``deep_metric_heads`` it also carries ``aux['deep']`` — a tuple of
+    per-seg-head metric dicts (``show_deep_metrics`` parity,
+    ``utils/metric/metrics.py:6-25``), computed on device.
     ``inputs``: (B, D, H, W, C) fp32; ``labels``: (B, D, H, W) int32.
     """
 
@@ -62,21 +66,21 @@ def train_step_fn(
             outs = state.apply_fn({"params": p}, x, train=True,
                                   rngs={"dropout": rng})
             loss = loss_obj(outs, labels, sr_labels=x.astype(jnp.float32))
-            return loss, outs[0]
+            heads = (loss_obj.metric_outputs(outs) if deep_metric_heads
+                     else [outs[0] if isinstance(outs, (list, tuple))
+                           else outs])
+            return loss, heads
 
-        (loss, head0), grads = jax.value_and_grad(
+        (loss, heads), grads = jax.value_and_grad(
             _loss, has_aux=True)(state.params)
         grads = _cast_tree(grads, jnp.float32)
         state = state.apply_gradients(grads=grads)
         aux = {"loss": loss}
         if with_metrics:
-            # Binary fast path: argmax over a minor axis of 2 compiles to a
-            # pathological layout on TPU; a compare is one fused pass.
-            if head0.shape[-1] == 2:
-                pred = (head0[..., 1] > head0[..., 0]).astype(jnp.int32)
-            else:
-                pred = jnp.argmax(head0, axis=-1)
-            aux.update(segmentation_metrics(labels, pred))
+            aux.update(segmentation_metrics(
+                labels, pred_from_logits(heads[0])))
+            if deep_metric_heads:
+                aux["deep"] = tuple(deep_metrics(heads, labels))
         return state, aux
 
     return step

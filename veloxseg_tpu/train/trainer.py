@@ -76,7 +76,11 @@ def set_learning_rate(state, lr: float):
 
 
 def _fetch_aux(aux) -> Dict[str, float]:
-    return {k: float(v) for k, v in aux.items()}
+    out = {k: float(v) for k, v in aux.items() if k != "deep"}
+    if "deep" in aux:
+        out["deep"] = tuple({k: float(v) for k, v in head.items()}
+                            for head in aux["deep"])
+    return out
 
 
 def run_train(args, train_config: dict, model_config: dict) -> dict:
@@ -207,14 +211,20 @@ def run_train(args, train_config: dict, model_config: dict) -> dict:
                 f"patch depth {patch_size[0]} must divide by mesh spatial "
                 f"axis {spatial_size}")
         logger.info(f"SPMD mesh: {dict(mesh.shape)}")
+    # Per-deep-head metric reporting (reference ``show_deep_metric`` key,
+    # ``utils/train_autopet.py:252`` → ``utils/metric/metrics.py:6-25``).
+    show_deep = bool(train_config.get("show_deep_metric", True))
+    if mesh is not None:
         step = make_sharded_train_step(mesh, loss_obj,
                                        compute_dtype=jnp.bfloat16,
-                                       spatial_shard=spatial_shard)
+                                       spatial_shard=spatial_shard,
+                                       deep_metric_heads=show_deep)
         state = jax.device_put(state, replicate_sharding(mesh))
         x_shard = batch_sharding(mesh, spatial_shard)
         y_shard = label_sharding(mesh, spatial_shard)
     else:
-        step = train_step_fn(loss_obj, compute_dtype=jnp.bfloat16)
+        step = train_step_fn(loss_obj, compute_dtype=jnp.bfloat16,
+                             deep_metric_heads=show_deep)
     eval_step = eval_step_fn(model.apply)
 
     try:
@@ -223,9 +233,28 @@ def run_train(args, train_config: dict, model_config: dict) -> dict:
     except Exception:   # pragma: no cover - tensorboard optional
         writer = None
 
+    # Checkpoint writes: ``async_checkpoint`` in the train config switches
+    # to non-blocking Orbax directory checkpoints (preemption recovery,
+    # SURVEY §5); default is the reference-parity synchronous msgpack file.
+    async_writer = None
+    if train_config.get("async_checkpoint"):
+        from .orbax_ckpt import AsyncCheckpointWriter
+        async_writer = AsyncCheckpointWriter()
+        logger.info("async (Orbax) checkpointing enabled")
+
+    def save_ckpt(name: str, epoch: int) -> None:
+        kwargs = dict(epoch=epoch, best_train_dice=best_train_dice,
+                      best_val_dice=best_val_dice,
+                      scheduler_state=scheduler.state_dict())
+        if async_writer is not None:
+            async_writer.save(os.path.join(save_path, name),
+                              state.params, state.opt_state, **kwargs)
+        else:
+            save_checkpoint(os.path.join(save_path, name + ".ckpt"),
+                            state.params, state.opt_state, **kwargs)
+
     iteration = 0
     epochs = train_config["epochs"]
-    show_deep = train_config.get("show_deep_metric", True)
 
     def log_train_aux(aux_f, epoch, it_in_epoch, n_batches):
         nonlocal iteration
@@ -235,6 +264,13 @@ def run_train(args, train_config: dict, model_config: dict) -> dict:
                f"FN:{aux_f.get('fn_rate', 0):.4f}, "
                f"IoU:{aux_f.get('iou', 0):.4f}, "
                f"Dice:{aux_f.get('dice', 0):.4f}]")
+        for head in aux_f.get("deep", ()):
+            # show_deep_metrics line format (utils/metric/metrics.py:18,24)
+            msg += (f"\n[FP:{head['fp_rate']:.4f}, "
+                    f"FN:{head['fn_rate']:.4f}, "
+                    f"IoU:{head['iou']:.4f}, Dice:{head['dice']:.4f} "
+                    f"pix:{int(head['pred_pix']):6}/"
+                    f"{int(head['label_pix']):6}]")
         logger.info(msg)
         if writer is not None:
             writer.add_scalar("Training Loss", aux_f["loss"], iteration)
@@ -282,22 +318,12 @@ def run_train(args, train_config: dict, model_config: dict) -> dict:
         mean_dice = means["dice"]
 
         if epoch % train_config["save_model_interval"] == 0:
-            save_checkpoint(
-                os.path.join(save_path, f"{epoch}.ckpt"), state.params,
-                state.opt_state, epoch=epoch,
-                best_train_dice=best_train_dice,
-                best_val_dice=best_val_dice,
-                scheduler_state=scheduler.state_dict())
+            save_ckpt(str(epoch), epoch)
         if mean_dice >= best_train_dice:
             logger.info(f"get new best dice {best_train_dice} -> "
                         f"{mean_dice}, save new 'train_best.ckpt'")
             best_train_dice = mean_dice
-            save_checkpoint(
-                os.path.join(save_path, "train_best.ckpt"), state.params,
-                state.opt_state, epoch=epoch,
-                best_train_dice=best_train_dice,
-                best_val_dice=best_val_dice,
-                scheduler_state=scheduler.state_dict())
+            save_ckpt("train_best", epoch)
 
         logger.info(
             f"training epoch {epoch + 1}: average "
@@ -338,13 +364,11 @@ def run_train(args, train_config: dict, model_config: dict) -> dict:
                     logger.info(f"get new best dice {best_val_dice} -> "
                                 f"{val_dice}, save new 'val_best.ckpt'")
                     best_val_dice = val_dice
-                    save_checkpoint(
-                        os.path.join(save_path, "val_best.ckpt"),
-                        state.params, state.opt_state, epoch=epoch,
-                        best_train_dice=best_train_dice,
-                        best_val_dice=best_val_dice,
-                        scheduler_state=scheduler.state_dict())
+                    save_ckpt("val_best", epoch)
 
+    if async_writer is not None:
+        async_writer.wait()
+        async_writer.close()
     if writer is not None:
         writer.close()
     return {"best_train_dice": best_train_dice,
