@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.windows import WindowLayout, compute_window_layout
+from ..ops.pwa_attention import window_attention
 from ..ops.resize import interp_matrix
 from .basic import DropPath, FFN, he_normal
 from .norms import LayerNorm
@@ -225,9 +226,6 @@ class MultiModalPWA(nn.Module):
         v = jnp.concatenate(vs, axis=3)
 
         scale = 1.0 / math.sqrt(layout.dim_qk)
-        scores = jnp.einsum(
-            "bhnlc,bhnmc->bhnlm", q, k,
-            preferred_element_type=jnp.float32) * scale
 
         # Same per-window bias added to every (modality_i, modality_j) block
         # (``PWA.py:316-320``) — equivalent to tiling it M×M.
@@ -235,14 +233,23 @@ class MultiModalPWA(nn.Module):
             window=layout.tokens_per_axis, num_heads=self.num_heads,
             name="pos_bias")()
         bias = jnp.tile(bias, (1, m_count, m_count))
-        scores = scores + bias[None, :, None]
 
-        weights = nn.softmax(scores, axis=-1)
-        weights = nn.Dropout(self.attn_drop)(
-            weights, deterministic=deterministic)
-        attn = jnp.einsum(
-            "bhnlm,bhnmc->bhnlc", weights.astype(v.dtype), v,
-            preferred_element_type=jnp.float32).astype(v.dtype)
+        if deterministic:
+            # Fused Pallas attention (score→bias→softmax→·V in VMEM, no
+            # HBM score/weight tensors); einsum fallback off-TPU. Train
+            # mode keeps the explicit-weights path (dropout + autodiff).
+            attn = window_attention(q, k, v, bias, scale)
+        else:
+            scores = jnp.einsum(
+                "bhnlc,bhnmc->bhnlm", q, k,
+                preferred_element_type=jnp.float32) * scale
+            scores = scores + bias[None, :, None]
+            weights = nn.softmax(scores, axis=-1)
+            weights = nn.Dropout(self.attn_drop)(
+                weights, deterministic=deterministic)
+            attn = jnp.einsum(
+                "bhnlm,bhnmc->bhnlc", weights.astype(v.dtype), v,
+                preferred_element_type=jnp.float32).astype(v.dtype)
 
         l = layout.tokens_per_window
         spatial = xs[0].shape[1:4]
