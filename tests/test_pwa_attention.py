@@ -54,3 +54,94 @@ def test_pallas_bf16_io():
     np.testing.assert_allclose(np.asarray(fused, np.float32),
                                np.asarray(ref, np.float32),
                                atol=3e-2, rtol=3e-2)
+
+
+# ---------------------------------------------------------------------------
+# Train path: fused attention + in-kernel dropout, custom VJP.
+# ---------------------------------------------------------------------------
+
+from veloxseg_tpu.ops.pwa_attention import (_train_xla,  # noqa: E402
+                                            window_attention_train)
+
+SEED = jnp.asarray([[1234]], jnp.int32)
+
+
+def test_train_path_p0_matches_xla_fwd_and_grads():
+    q, k, v, bias = _inputs(b=1, h=2, n=3, l=27, c_qk=4, c_v=4, seed=3)
+    scale = 0.5
+
+    def fused(q, k, v, bias):
+        return jnp.sum(window_attention_train(
+            q, k, v, bias, SEED, scale, 0.0, True) ** 2)
+
+    def ref(q, k, v, bias):
+        return jnp.sum(window_attention_xla(q, k, v, bias, scale) ** 2)
+
+    np.testing.assert_allclose(float(fused(q, k, v, bias)),
+                               float(ref(q, k, v, bias)), rtol=1e-5)
+    gf = jax.grad(fused, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    gr = jax.grad(ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_train_path_dropout_matches_xla_oracle_exactly():
+    # Counter-based mask -> the kernel and the XLA fallback are
+    # bit-identical when no window padding happens (n % block == 0).
+    q, k, v, bias = _inputs(b=2, h=2, n=4, l=27, c_qk=4, c_v=4, seed=4)
+    fused = window_attention_train(q, k, v, bias, SEED, 0.5, 0.3, True)
+    oracle = _train_xla(q, k, v, bias, SEED, 0.5, 0.3)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(oracle),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_train_path_dropout_deterministic_given_seed():
+    q, k, v, bias = _inputs(b=1, h=1, n=4, l=27, c_qk=4, c_v=4, seed=4)
+    o1 = window_attention_train(q, k, v, bias, SEED, 0.5, 0.3, True)
+    o2 = window_attention_train(q, k, v, bias, SEED, 0.5, 0.3, True)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    o3 = window_attention_train(q, k, v, bias,
+                                jnp.asarray([[999]], jnp.int32),
+                                0.5, 0.3, True)
+    assert not np.allclose(np.asarray(o1), np.asarray(o3))
+
+
+def test_train_path_dropout_gradient_finite_difference():
+    # The dropout mask depends only on (seed, element id), so the function
+    # is smooth in its array inputs - central differences validate the
+    # custom VJP (incl. mask handling in the backward kernel).
+    q, k, v, bias = _inputs(b=1, h=1, n=2, l=8, c_qk=4, c_v=4, seed=5)
+    scale, p = 0.7, 0.25
+
+    def f(q, k, v, bias):
+        return jnp.sum(jnp.sin(window_attention_train(
+            q, k, v, bias, SEED, scale, p, True)))
+
+    grads = jax.grad(f, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    rng = np.random.default_rng(0)
+    eps = 1e-3
+    for ai, arr in enumerate((q, k, v, bias)):
+        flat = np.asarray(arr).ravel()
+        for idx in rng.choice(flat.size, size=4, replace=False):
+            e = np.zeros_like(flat)
+            e[idx] = eps
+            pert = e.reshape(arr.shape)
+            args_p = [q, k, v, bias]
+            args_m = [q, k, v, bias]
+            args_p[ai] = arr + pert
+            args_m[ai] = arr - pert
+            fd = (float(f(*args_p)) - float(f(*args_m))) / (2 * eps)
+            an = float(np.asarray(grads[ai]).ravel()[idx])
+            np.testing.assert_allclose(an, fd, atol=5e-3, rtol=5e-3)
+
+
+def test_train_path_dropout_mean_preserving():
+    q, k, v, bias = _inputs(b=2, h=1, n=8, l=27, c_qk=4, c_v=4, seed=6)
+    p = 0.4
+    ones = jnp.ones_like(v)
+    out1 = window_attention_train(q, k, ones, jnp.zeros_like(bias),
+                                  SEED, 1.0, p, True)
+    # With v == 1 each output element is the sum of that row's kept,
+    # rescaled softmax weights: mean over many windows must stay ~1.
+    assert abs(float(jnp.mean(out1)) - 1.0) < 0.1

@@ -27,11 +27,13 @@ import math
 from typing import List, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..core.windows import WindowLayout, compute_window_layout
-from ..ops.pwa_attention import window_attention
+from ..ops.pwa_attention import (train_fused_enabled, window_attention,
+                                 window_attention_train)
 from ..ops.resize import interp_matrix
 from .basic import DropPath, FFN, he_normal
 from .norms import LayerNorm
@@ -236,9 +238,16 @@ class MultiModalPWA(nn.Module):
 
         if deterministic:
             # Fused Pallas attention (score→bias→softmax→·V in VMEM, no
-            # HBM score/weight tensors); einsum fallback off-TPU. Train
-            # mode keeps the explicit-weights path (dropout + autodiff).
+            # HBM score/weight tensors); einsum fallback off-TPU.
             attn = window_attention(q, k, v, bias, scale)
+        elif train_fused_enabled(m_count * layout.tokens_per_window):
+            # Fused train kernel: in-kernel counter-based weight dropout +
+            # custom VJP (backward recomputes softmax — no saved weights).
+            seed = jax.random.randint(
+                self.make_rng("dropout"), (1, 1), 0, 2**31 - 1,
+                dtype=jnp.int32)
+            attn = window_attention_train(
+                q, k, v, bias, seed, scale, float(self.attn_drop))
         else:
             scores = jnp.einsum(
                 "bhnlc,bhnmc->bhnlm", q, k,

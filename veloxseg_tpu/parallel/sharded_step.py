@@ -32,6 +32,12 @@ def make_sharded_train_step(mesh, loss_obj: CompositeLoss,
     laid out with :func:`batch_sharding` (the step enforces it via
     in_shardings).
     """
+    # GSPMD cannot partition the fused-attention pallas custom-call; the
+    # SPMD step must trace the pure-XLA attention path (sticky per
+    # process — mesh and single-chip training don't share processes).
+    from ..ops import pwa_attention
+    pwa_attention.set_train_fused(False)
+
     repl = replicate_sharding(mesh)
     x_shard = batch_sharding(mesh, spatial_shard)
     y_shard = label_sharding(mesh, spatial_shard)
