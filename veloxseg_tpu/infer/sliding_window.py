@@ -72,6 +72,38 @@ def functools_reduce_outer(axes_maps: List[np.ndarray]) -> np.ndarray:
     return out
 
 
+# Per-call caches: tracing the predictor with ``jax.eval_shape`` to learn
+# its output channel count costs ~100 ms of pure Python per volume (the
+# full flax model is retraced), and re-uploading the importance map is a
+# fresh H2D transfer. Both depend only on static keys, so memoize them.
+# Keys hold predictor references exactly like the lru_cache below does.
+_OUT_CHANNELS_CACHE: dict = {}
+_IMPORTANCE_CACHE: dict = {}
+
+
+def _probe_out_channels(predictor, params, tiles_shape) -> int:
+    key = (predictor, params is not None, tiles_shape.shape,
+           tiles_shape.dtype)
+    k = _OUT_CHANNELS_CACHE.get(key)
+    if k is None:
+        if params is not None:
+            k = jax.eval_shape(predictor, params, tiles_shape).shape[-1]
+        else:
+            k = jax.eval_shape(predictor, tiles_shape).shape[-1]
+        _OUT_CHANNELS_CACHE[key] = int(k)
+    return int(k)
+
+
+def _importance_device(mode: str, roi: Tuple[int, ...],
+                       importance: np.ndarray) -> jnp.ndarray:
+    key = (mode, roi)
+    imp = _IMPORTANCE_CACHE.get(key)
+    if imp is None:
+        imp = jnp.asarray(importance)[None, ..., None]
+        _IMPORTANCE_CACHE[key] = imp
+    return imp
+
+
 @functools.lru_cache(maxsize=16)
 def _volume_runner(predictor, roi: Tuple[int, ...], sw_batch_size: int,
                    b: int, c: int, k: int, padded_spatial: Tuple[int, ...],
@@ -185,14 +217,12 @@ def sliding_window_inference(
     else:
         raise ValueError(f"unknown blend mode {mode!r}")
 
-    # Probe output channels without running the predictor.
+    # Probe output channels without running the predictor (cached — the
+    # eval_shape trace of a full model costs ~100 ms Python per call).
     tiles_shape = jax.ShapeDtypeStruct(
         (sw_batch_size * b, *roi, inputs.shape[-1]), inputs.dtype)
-    if params is not None:
-        k = jax.eval_shape(predictor, params, tiles_shape).shape[-1]
-    else:
-        k = jax.eval_shape(predictor, tiles_shape).shape[-1]
-    imp = jnp.asarray(importance)[None, ..., None]
+    k = _probe_out_channels(predictor, params, tiles_shape)
+    imp = _importance_device(mode, tuple(roi), importance)
 
     if params is not None and not cpu_accumulate:
         run = _volume_runner(predictor, tuple(roi), sw_batch_size, b, c,
