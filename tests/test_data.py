@@ -118,3 +118,46 @@ class TestHD95:
         d1 = hd95(a, b, voxelspacing=(1, 1, 1))
         d2 = hd95(a, b, voxelspacing=(2, 1, 1))
         assert d2 > d1
+
+
+class TestPatchLoader:
+    def _loader(self, tmp_path, n_cases, batch_size, drop_last):
+        from make_fixtures import make_autopet_fixtures
+        from veloxseg_tpu.data.dataset import (PatchLoader,
+                                               SegmentationDataset,
+                                               default_train_transform)
+        patterns = make_autopet_fixtures(str(tmp_path), n_cases=n_cases)
+        ds = SegmentationDataset.from_globs(
+            {"pet": patterns["pet_path"], "ct": patterns["ct_path"],
+             "label": patterns["label_path"]}, "AutoPETII")
+        return PatchLoader(
+            ds.files, ["pet", "ct"],
+            default_train_transform((16, 16, 16), num_samples=2),
+            batch_size=batch_size, num_samples=2, num_workers=2,
+            shuffle=True, drop_last=drop_last)
+
+    def test_batches_and_tail(self, tmp_path):
+        loader = self._loader(tmp_path, n_cases=5, batch_size=2,
+                              drop_last=False)
+        batches = list(loader)
+        # 5 cases x 2 samples = 10 patches; per_batch = 4 -> 2 full + tail 2
+        assert len(batches) == len(loader) == 3
+        assert [b[0].shape[0] for b in batches] == [4, 4, 2]
+        x, y = batches[0]
+        assert x.shape == (4, 16, 16, 16, 2) and y.shape == (4, 16, 16, 16)
+        assert set(np.unique(y)) <= {0, 1}
+
+    def test_drop_last(self, tmp_path):
+        loader = self._loader(tmp_path, n_cases=5, batch_size=2,
+                              drop_last=True)
+        batches = list(loader)
+        # tail (1 case's worth) dropped -> every batch full-size
+        assert len(batches) == len(loader) == 2
+        assert all(b[0].shape[0] == 4 for b in batches)
+
+    def test_bounded_lookahead_covers_all(self, tmp_path):
+        # more cases than the lookahead window: all items still arrive
+        loader = self._loader(tmp_path, n_cases=9, batch_size=2,
+                              drop_last=False)
+        total = sum(b[0].shape[0] for b in loader)
+        assert total == 9 * 2

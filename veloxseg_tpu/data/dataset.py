@@ -107,7 +107,11 @@ class PatchLoader:
                  num_samples: int = 2, num_workers: int = 4,
                  shuffle: bool = True, seed: int = 12345,
                  modal_index: Optional[Sequence[int]] = None,
-                 binary_label: bool = True):
+                 binary_label: bool = True, drop_last: bool = False):
+        """``drop_last`` skips a final ragged batch — required under SPMD
+        (the effective batch must divide the mesh data axis; a tail batch
+        of a different size would also retrace the train step). Default
+        ``False`` matches the reference's DataLoader behavior."""
         self.files = files
         self.keys = list(modality_keys)
         self.transform = transform
@@ -115,9 +119,11 @@ class PatchLoader:
         self.num_samples = num_samples
         self.shuffle = shuffle
         self.binary_label = binary_label
+        self.drop_last = drop_last
         self.modal_index = (list(modal_index) if modal_index is not None
                             else [1] * len(self.keys))
         self._rng = np.random.default_rng(seed)
+        self._workers = num_workers
         self._pool = cf.ThreadPoolExecutor(max_workers=num_workers)
         self._lock = threading.Lock()
 
@@ -129,6 +135,8 @@ class PatchLoader:
         return self.transform(vols, label, rng)
 
     def __len__(self):
+        if self.drop_last:
+            return len(self.files) // self.batch_size
         return math.ceil(len(self.files) / self.batch_size)
 
     def __iter__(self):
@@ -136,24 +144,36 @@ class PatchLoader:
         if self.shuffle:
             self._rng.shuffle(order)
         seeds = self._rng.integers(0, 2 ** 31, size=len(order))
+        work = [(self.files[i], int(s)) for i, s in zip(order, seeds)]
 
-        futures = []
-        for idx, seed in zip(order, seeds):
-            futures.append(self._pool.submit(
-                self._load_item, self.files[idx], int(seed)))
+        # Bounded lookahead: keep at most ~2× the worker count in flight.
+        # Submitting the whole epoch at once lets workers run arbitrarily
+        # far ahead of the consumer — decoded volumes pile up in host RAM
+        # in proportion to dataset size on whole-body datasets.
+        lookahead = max(2 * self._workers, self.batch_size)
+        futures: List[cf.Future] = []
+        next_i = 0
+        for next_i in range(min(lookahead, len(work))):
+            futures.append(self._pool.submit(self._load_item, *work[next_i]))
+        next_i += 1
 
         # list_data_collate parity: every item contributes num_samples
         # patches; a "batch" is batch_size items' worth of patches.
         per_batch = self.batch_size * self.num_samples
         batch_x, batch_y = [], []
-        for fut in futures:
+        for done in range(len(work)):
+            fut = futures[done]
+            if next_i < len(work):
+                futures.append(
+                    self._pool.submit(self._load_item, *work[next_i]))
+                next_i += 1
             for x, y in fut.result():
                 batch_x.append(x)
                 batch_y.append(y)
             while len(batch_x) >= per_batch:
                 yield self._emit(batch_x[:per_batch], batch_y[:per_batch])
                 del batch_x[:per_batch], batch_y[:per_batch]
-        if batch_x:
+        if batch_x and not self.drop_last:
             yield self._emit(batch_x, batch_y)
 
     def _emit(self, xs, ys):

@@ -134,6 +134,11 @@ def run_train(args, train_config: dict, model_config: dict) -> dict:
 
     patch_size = train_config["patch_size"][args.dataset_name]
     num_workers = getattr(args, "num_workers", 4)
+    # Parsed before the loaders: under SPMD the train loader must drop a
+    # final ragged batch (it would not divide the mesh data axis, and a
+    # second batch shape would retrace the step anyway).
+    from ..parallel.mesh import parse_mesh_spec
+    mesh = parse_mesh_spec(getattr(args, "mesh", None))
     train_loader = PatchLoader(
         train_files, profile.modality_names,
         default_train_transform(
@@ -142,7 +147,8 @@ def run_train(args, train_config: dict, model_config: dict) -> dict:
             use_foreground_crop=profile.use_foreground_crop),
         batch_size=train_config["batch_size"], num_samples=2,
         num_workers=num_workers, shuffle=True,
-        modal_index=modal_index, binary_label=profile.binary_label)
+        modal_index=modal_index, binary_label=profile.binary_label,
+        drop_last=mesh is not None)
     val_loader = PatchLoader(
         val_files, profile.modality_names,
         default_val_transform(
@@ -190,8 +196,7 @@ def run_train(args, train_config: dict, model_config: dict) -> dict:
     # Device mesh (TPU-native addition — the reference is single-GPU).
     # ``--mesh`` shards the batch over ``data`` (grad all-reduce via psum)
     # and optionally the leading spatial axis over ``spatial``.
-    from ..parallel.mesh import parse_mesh_spec
-    mesh = parse_mesh_spec(getattr(args, "mesh", None))
+    # (``mesh`` itself was parsed above, before the loaders.)
     x_shard = None
     y_shard = None
     if mesh is not None:
