@@ -1,0 +1,154 @@
+"""Reference (PyTorch) zoo checkpoints → flax params for parity testing.
+
+Per-model state-dict key maps onto the channels-last flax rewrites in
+``models/zoo/``. Currently covered: MedNeXt (``compared_model/MedNeXt``,
+the reference's ConvNeXt-style baseline). The layout transforms are shared
+with :mod:`.torch_import`:
+
+- Conv3d ``(O, I/g, k, k, k)`` → DHWIO ``(k, k, k, I/g, O)``.
+- ConvTranspose3d ``(I, O/g, k, k, k)``: our :class:`zoo.common.
+  ConvTranspose3d` flips the kernel internally, so the import only swaps
+  to DHWIO — ``(2,3,4,0,1)`` for ``groups=1``, ``(2,3,4,1,0)`` for
+  depthwise (``I/g == 1``).
+- 1×1 convs (either direction) → Dense ``(I, O)``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from .torch_import import _conv1x1_w, _conv3d_w, _identity, _to_numpy
+
+
+def _convT_dhwio(w: np.ndarray) -> np.ndarray:
+    """groups=1 ConvTranspose3d (I, O, kd, kh, kw) → (kd, kh, kw, I, O)."""
+    return np.transpose(w, (2, 3, 4, 0, 1))
+
+
+def _convT_dw_dhwio(w: np.ndarray) -> np.ndarray:
+    """Depthwise ConvTranspose3d (C, 1, kd, kh, kw) → (kd, kh, kw, 1, C)."""
+    return np.transpose(w, (2, 3, 4, 1, 0))
+
+
+def _convT_1x1_dense(w: np.ndarray) -> np.ndarray:
+    """ConvTranspose3d k=1 s=1 (I, O, 1, 1, 1) → Dense (I, O)."""
+    return w.reshape(w.shape[0], w.shape[1])
+
+
+# ---------------------------------------------------------------------------
+# MedNeXt (compared_model/MedNeXt/MedNextV1.py — attribute names at
+# :47-273; block internals blocks.py:30-75).
+# ---------------------------------------------------------------------------
+
+_MEDNEXT_STAGE = {
+    "enc_block_0": "enc0", "enc_block_1": "enc1", "enc_block_2": "enc2",
+    "enc_block_3": "enc3", "bottleneck": "bottleneck",
+    "dec_block_3": "dec3", "dec_block_2": "dec2", "dec_block_1": "dec1",
+    "dec_block_0": "dec0",
+}
+
+_MEDNEXT_INNER = {
+    # torch attr → (our module name, weight transform)
+    "conv1": ("dw", _conv3d_w),            # depthwise k³ (C,1,k,k,k)
+    "norm": ("norm", None),                # GroupNorm scale/bias
+    "conv2": ("expand", _conv1x1_w),
+    "conv3": ("compress", _conv1x1_w),
+}
+
+
+def _mednext_inner(prefix: Tuple[str, ...], rest: str, up: bool
+                   ) -> Optional[Tuple[Tuple[str, ...], Any]]:
+    m = re.fullmatch(r"(conv1|norm|conv2|conv3)\.(weight|bias)", rest)
+    if not m:
+        return None
+    attr, p = m.group(1), m.group(2)
+    name, tf = _MEDNEXT_INNER[attr]
+    if attr == "norm":
+        return prefix + (name, "scale" if p == "weight" else "bias"), \
+            _identity
+    if attr == "conv1":
+        if up:
+            name = "dw_up"
+            tf = _convT_dw_dhwio  # depthwise ConvTranspose3d
+        return prefix + (name, "kernel" if p == "weight" else "bias"), \
+            tf if p == "weight" else _identity
+    return prefix + (name, "kernel" if p == "weight" else "bias"), \
+        tf if p == "weight" else _identity
+
+
+def _map_mednext_key(key: str) -> Optional[Tuple[Tuple[str, ...], Any]]:
+    m = re.fullmatch(r"stem\.(weight|bias)", key)
+    if m:
+        p = m.group(1)
+        return ("stem", "kernel" if p == "weight" else "bias"), \
+            _conv1x1_w if p == "weight" else _identity
+    m = re.fullmatch(r"(enc_block_\d|bottleneck|dec_block_\d)\.(\d+)\.(.+)",
+                     key)
+    if m:
+        stage = _MEDNEXT_STAGE[m.group(1)]
+        out = _mednext_inner((f"{stage}_{m.group(2)}",), m.group(3),
+                             up=False)
+        if out is None:
+            raise KeyError(f"unmapped MedNeXt key: {key}")
+        return out
+    m = re.fullmatch(r"down_(\d)\.(.+)", key)
+    if m:
+        rest = m.group(2)
+        rm = re.fullmatch(r"res_conv\.(weight|bias)", rest)
+        if rm:
+            p = rm.group(1)
+            return (f"down{m.group(1)}", "res",
+                    "kernel" if p == "weight" else "bias"), \
+                _conv3d_w if p == "weight" else _identity
+        out = _mednext_inner((f"down{m.group(1)}",), rest, up=False)
+        if out is None:
+            raise KeyError(f"unmapped MedNeXt key: {key}")
+        return out
+    m = re.fullmatch(r"up_(\d)\.(.+)", key)
+    if m:
+        rest = m.group(2)
+        rm = re.fullmatch(r"res_conv\.(weight|bias)", rest)
+        if rm:
+            p = rm.group(1)
+            return (f"up{m.group(1)}", "res",
+                    "kernel" if p == "weight" else "bias"), \
+                _convT_dhwio if p == "weight" else _identity
+        out = _mednext_inner((f"up{m.group(1)}",), rest, up=True)
+        if out is None:
+            raise KeyError(f"unmapped MedNeXt key: {key}")
+        return out
+    m = re.fullmatch(r"out_0\.conv_out\.(weight|bias)", key)
+    if m:
+        p = m.group(1)
+        return ("out", "kernel" if p == "weight" else "bias"), \
+            _convT_1x1_dense if p == "weight" else _identity
+    if re.match(r"out_[1-4]\.", key) or key.startswith("dummy"):
+        return None  # deep-supervision heads (absent for ds=False)
+    raise KeyError(f"unmapped MedNeXt key: {key}")
+
+
+_CONVERTERS = {"MedNeXt": _map_mednext_key}
+
+
+def convert_zoo_state_dict(model_name: str, state_dict: Dict[str, Any],
+                           params_template=None) -> Dict[str, Any]:
+    """Reference zoo state dict → nested flax params dict."""
+    map_key = _CONVERTERS[model_name]
+    nested: Dict[str, Any] = {}
+    for key, value in state_dict.items():
+        mapped = map_key(key)
+        if mapped is None:
+            continue
+        path, tf = mapped
+        arr = tf(np.asarray(_to_numpy(value), dtype=np.float32))
+        node = nested
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = arr
+    if params_template is not None:
+        from flax import serialization
+        nested = serialization.from_state_dict(params_template, nested)
+    return nested

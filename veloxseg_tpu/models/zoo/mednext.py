@@ -71,12 +71,15 @@ class MedNeXtUp(nn.Module):
         y = ConvTranspose3d(c, self.kernel_size, 2,
                             padding=self.kernel_size // 2, groups=c,
                             name="dw_up")(x)
-        y = jnp.pad(y, ((0, 0), (1, 0), (1, 0), (1, 0), (0, 0)))
         y = GroupNorm(num_groups=c, name="norm")(y)
         y = nn.gelu(nn.Dense(c * self.exp_r, kernel_init=he_normal,
                              name="expand")(y), approximate=False)
         y = nn.Dense(self.features, kernel_init=he_normal,
                      name="compress")(y)
+        # Reference pads AFTER the whole block (``blocks.py:186-197``):
+        # the norm statistics and the compress conv never see the padded
+        # zeros, and the padded border stays exactly zero.
+        y = jnp.pad(y, ((0, 0), (1, 0), (1, 0), (1, 0), (0, 0)))
         res = ConvTranspose3d(self.features, 1, 2, name="res")(x)
         res = jnp.pad(res, ((0, 0), (1, 0), (1, 0), (1, 0), (0, 0)))
         return y + res
