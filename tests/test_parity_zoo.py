@@ -80,3 +80,59 @@ def test_mednext_converter_covers_every_key():
         return int(np.prod(node.shape))
 
     assert count(converted) == n_src
+
+
+def _load_ref_slim(in_ch: int, n_classes: int):
+    if REF_ZOO not in sys.path:
+        sys.path.insert(0, REF_ZOO)
+    import importlib
+    mod = importlib.import_module("SlimUNETR.SlimUNETR")
+    model = mod.SlimUNETR(in_channels=in_ch, out_channels=n_classes,
+                          embed_dim=96, embedding_dim=27,
+                          channels=(24, 48, 60), blocks=(1, 2, 3, 2),
+                          heads=(1, 2, 4, 4), r=(4, 2, 2, 1), dropout=0.0)
+    # train mode: BatchNorm uses batch statistics (= our BatchNormNoTrack);
+    # dropout=0 keeps the forward deterministic.
+    model.train()
+    return model
+
+
+def test_slim_unetr_forward_parity():
+    from veloxseg_tpu.models.zoo.slim_unetr import SlimUNETR
+
+    torch.manual_seed(0)
+    in_ch, n_classes = 2, 2
+    ref = _load_ref_slim(in_ch, n_classes)
+
+    flax_model = SlimUNETR(out_channels=n_classes, embedding_dim=27,
+                           dropout=0.0)
+    x_np = np.random.default_rng(1).standard_normal(
+        (2, 96, 96, 96, in_ch)).astype(np.float32)
+    template = jax.jit(flax_model.init, static_argnames="train")(
+        jax.random.PRNGKey(0), jnp.asarray(x_np), train=False)["params"]
+    params = convert_zoo_state_dict("SlimUNETR", ref.state_dict(), template)
+
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(
+            np.transpose(x_np, (0, 4, 1, 2, 3))))
+    ref_out = np.transpose(ref_out.numpy(), (0, 2, 3, 4, 1))
+
+    out = jax.jit(flax_model.apply, static_argnames="train")(
+        {"params": params}, jnp.asarray(x_np), train=False)
+    np.testing.assert_allclose(np.asarray(out), ref_out,
+                               atol=5e-4, rtol=5e-4)
+
+
+def test_slim_unetr_converter_covers_every_key():
+    ref = _load_ref_slim(2, 2)
+    converted = convert_zoo_state_dict("SlimUNETR", ref.state_dict())
+    n_src = sum(v.numel() for k, v in ref.state_dict().items()
+                if ".running_" not in k
+                and not k.endswith("num_batches_tracked"))
+
+    def count(node):
+        if isinstance(node, dict):
+            return sum(count(v) for v in node.values())
+        return int(np.prod(node.shape))
+
+    assert count(converted) == n_src

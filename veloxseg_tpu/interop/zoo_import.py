@@ -130,7 +130,118 @@ def _map_mednext_key(key: str) -> Optional[Tuple[Tuple[str, ...], Any]]:
     raise KeyError(f"unmapped MedNeXt key: {key}")
 
 
-_CONVERTERS = {"MedNeXt": _map_mednext_key}
+# ---------------------------------------------------------------------------
+# SlimUNETR (compared_model/SlimUNETR/ — Encoder.py, Decoder.py,
+# Slim_UNETR_Block.py). Parity holds in torch *train* mode with dropout=0:
+# our BatchNormNoTrack matches torch BN batch statistics.
+# ---------------------------------------------------------------------------
+
+def _slim_qkv_tf(heads: int):
+    """qkv 1×1 conv (3C, C, 1, 1, 1) → Dense (C, 3C) with row permutation.
+
+    The reference views the 3C conv channels as (heads, 3·hd) and splits
+    per head, so torch row ``h·3hd + s·hd + c`` is our column
+    ``s·C + h·hd + c`` (we reshape as (3, heads, hd), "which" slowest).
+    """
+    def tf(w: np.ndarray) -> np.ndarray:
+        three_c = w.shape[0]
+        c_total = three_c // 3
+        hd = c_total // heads
+        w = w.reshape(three_c, -1)  # (3C, C)
+        perm = np.empty(three_c, dtype=np.int64)
+        for s in range(3):
+            for h in range(heads):
+                for c in range(hd):
+                    perm[s * c_total + h * hd + c] = h * 3 * hd + s * hd + c
+        return np.transpose(w[perm])  # (C, 3C)
+    return tf
+
+
+_SLIM_BLOCK_INNER = {
+    "patch1.positional_encoding": ("patch1", _conv3d_w),
+    "LocalRC.pointwise_conv_0": ("pw0", _conv1x1_w),
+    "LocalRC.depthwise_conv": ("dw", _conv3d_w),
+    "LocalRC.pointwise_conv_1": ("pw1", _conv1x1_w),
+    "LineConv1.line_conv_0": ("lc1_up", _conv1x1_w),
+    "LineConv1.line_conv_1": ("lc1_down", _conv1x1_w),
+    "patch2.positional_encoding": ("patch2", _conv3d_w),
+    "LocalRD.conv_trans": ("diffuse", _convT_dw_dhwio),
+    "LocalRD.pointwise_conv": ("pw2", _conv1x1_w),
+    "LineConv2.line_conv_0": ("lc2_up", _conv1x1_w),
+    "LineConv2.line_conv_1": ("lc2_down", _conv1x1_w),
+}
+
+_SLIM_BLOCK_NORMS = {
+    "LocalRC.bn1": "bn1", "LocalRC.bn2": "bn2", "LocalRD.norm": "gn",
+}
+
+
+def _map_slim_block(our_block: str, rest: str, heads: int
+                    ) -> Optional[Tuple[Tuple[str, ...], Any]]:
+    if rest.endswith("num_batches_tracked") or ".running_" in rest:
+        return None  # BN running stats: ours uses batch statistics
+    m = re.fullmatch(r"(.+)\.(weight|bias)", rest)
+    if not m:
+        raise KeyError(f"unmapped SlimUNETR block key: {rest}")
+    attr, p = m.group(1), m.group(2)
+    if attr in _SLIM_BLOCK_NORMS:
+        return (our_block, _SLIM_BLOCK_NORMS[attr],
+                "scale" if p == "weight" else "bias"), _identity
+    if attr == "GlobalST.qkv":
+        return (our_block, "qkv", "kernel"), _slim_qkv_tf(heads)
+    if attr in _SLIM_BLOCK_INNER:
+        name, tf = _SLIM_BLOCK_INNER[attr]
+        return (our_block, name, "kernel" if p == "weight" else "bias"), \
+            tf if p == "weight" else _identity
+    raise KeyError(f"unmapped SlimUNETR block key: {rest}")
+
+
+def _make_slim_mapper(heads=(1, 2, 4, 4)):
+    # reference block{1..4} → our stage index 0..3 (encoder) and, in the
+    # decoder, reference block4→dec_block3 … block1→dec_block0.
+    def map_key(key: str) -> Optional[Tuple[Tuple[str, ...], Any]]:
+        m = re.fullmatch(r"Encoder\.DWconv(\d)\.(depth_wise|norm)\."
+                         r"(weight|bias)", key)
+        if m:
+            i = int(m.group(1)) - 1
+            p = m.group(3)
+            if m.group(2) == "depth_wise":
+                return (f"enc_down{i}_conv",
+                        "kernel" if p == "weight" else "bias"), \
+                    _conv3d_w if p == "weight" else _identity
+            return (f"enc_down{i}_gn",
+                    "scale" if p == "weight" else "bias"), _identity
+        m = re.fullmatch(r"Encoder\.block(\d)\.(\d+)\.(.+)", key)
+        if m:
+            s = int(m.group(1)) - 1
+            return _map_slim_block(f"enc_block{s}_{m.group(2)}",
+                                   m.group(3), heads[s])
+        if key == "Encoder.position_embeddings":
+            return ("position_embeddings",), _identity
+        m = re.fullmatch(r"Decoder\.block(\d)\.(\d+)\.(.+)", key)
+        if m:
+            s = int(m.group(1)) - 1
+            return _map_slim_block(f"dec_block{s}_{m.group(2)}",
+                                   m.group(3), heads[s])
+        m = re.fullmatch(r"Decoder\.(TSconv(\d)|SegHead)\."
+                         r"(transposed|norm)\.(weight|bias)", key)
+        if m:
+            # TSconv1 is the deepest (embed→ch2) = our dec_up3, etc.
+            our = ("seg_head" if m.group(1) == "SegHead"
+                   else f"dec_up{4 - int(m.group(2))}")
+            p = m.group(4)
+            if m.group(3) == "transposed":
+                return (f"{our}_conv",
+                        "kernel" if p == "weight" else "bias"), \
+                    _convT_dhwio if p == "weight" else _identity
+            return (f"{our}_gn",
+                    "scale" if p == "weight" else "bias"), _identity
+        raise KeyError(f"unmapped SlimUNETR key: {key}")
+    return map_key
+
+
+_CONVERTERS = {"MedNeXt": _map_mednext_key,
+               "SlimUNETR": _make_slim_mapper()}
 
 
 def convert_zoo_state_dict(model_name: str, state_dict: Dict[str, Any],

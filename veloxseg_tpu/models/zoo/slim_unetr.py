@@ -63,10 +63,11 @@ class SlimBlock(nn.Module):
         attn = nn.softmax(scores, axis=-1)
         out = jnp.einsum("bhnm,bmhc->bnhc", attn.astype(v.dtype), v)
         out = out.reshape(b, d, h, w, c)
-        # reverse diffusion: depthwise transpose conv r, GN(1), pointwise
-        if self.r > 1:
-            out = ConvTranspose3d(c, self.r, self.r, groups=c,
-                                  name="diffuse")(out)
+        # reverse diffusion: depthwise transpose conv r, GN(1), pointwise.
+        # Applied even at r=1 (a per-channel affine) — the reference's
+        # LocalRD always has conv_trans (Slim_UNETR_Block.py:82-86).
+        out = ConvTranspose3d(c, self.r, self.r, groups=c,
+                              name="diffuse")(out)
         out = GroupNorm(1, name="gn")(out)
         out = nn.Dense(c, use_bias=False, kernel_init=he_normal,
                        name="pw2")(out)
@@ -119,7 +120,13 @@ class SlimUNETR(nn.Module):
                          (1, self.embedding_dim, self.embed_dim))
         x = x.reshape(b, d * h * w, c) + pos
         x = nn.Dropout(self.dropout)(x, deterministic=det)
-        x = x.reshape(b, d, h, w, c)
+        # Reference quirk (Decoder.py:58): the (B, N, C) token tensor is
+        # reshaped straight to (B, C, W, H, Z) with NO transpose, so
+        # tokens and channels scramble at the bottleneck. Preserved —
+        # it is part of the trained function (and of weight-import
+        # parity): channels-last equivalent is reshape (C, N) + swap.
+        x = x.reshape(b, c, d * h * w)
+        x = jnp.swapaxes(x, 1, 2).reshape(b, d, h, w, c)
 
         def up(x, c, s, name):
             y = ConvTranspose3d(c, s, s, name=f"{name}_conv")(x)
