@@ -23,3 +23,9 @@ try:
     jax.config.update("jax_num_cpu_devices", 8)
 except Exception:
     pass  # older jax: the XLA_FLAGS path above covers it
+
+# XLA's default matmul/conv precision is reduced (bf16-like) even on CPU
+# in this build — conv outputs differ from true fp32 by ~1e-3 relative.
+# Tests (numerical parity vs torch especially) need real fp32. Product
+# perf paths are unaffected: they feed bf16 inputs explicitly.
+jax.config.update("jax_default_matmul_precision", "highest")

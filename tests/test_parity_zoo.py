@@ -136,3 +136,87 @@ def test_slim_unetr_converter_covers_every_key():
         return int(np.prod(node.shape))
 
     assert count(converted) == n_src
+
+
+def test_kan_linear_parity():
+    """Reference efficient-KAN B-spline layer (UKAN/kan.py) vs ours.
+
+    The full reference UKAN cannot import here (torchvision/timm are not
+    installed), but kan.py is standalone — and the B-spline basis is the
+    riskiest math in the U-KAN rewrite.
+    """
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_kan", os.path.join(REF_ZOO, "UKAN", "kan.py"))
+    ref_kan = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_kan)
+
+    from veloxseg_tpu.models.zoo.kan import KANLinear
+
+    torch.manual_seed(0)
+    in_f, out_f = 7, 11
+    ref = ref_kan.KANLinear(in_f, out_f)
+    ref.eval()
+
+    ours = KANLinear(out_f)
+    x_np = (np.random.default_rng(2).uniform(-1.3, 1.3, (64, in_f))
+            .astype(np.float32))
+    template = ours.init(jax.random.PRNGKey(0),
+                         jnp.asarray(x_np))["params"]
+    params = {
+        "base_weight": ref.base_weight.detach().numpy().T,
+        "spline_weight": np.transpose(
+            ref.spline_weight.detach().numpy(), (1, 2, 0)),
+        "spline_scaler": ref.spline_scaler.detach().numpy().T,
+    }
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(dict(template))
+
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x_np)).numpy()
+    out = ours.apply({"params": params}, jnp.asarray(x_np))
+    np.testing.assert_allclose(np.asarray(out), ref_out,
+                               atol=1e-5, rtol=1e-5)
+
+
+def _load_ref_segformer(in_ch: int, n_classes: int):
+    if REF_ZOO not in sys.path:
+        sys.path.insert(0, REF_ZOO)
+    import importlib
+    mod = importlib.import_module("SegFormer.SegFormer")
+    model = mod.SegFormer3D(
+        in_channels=in_ch, num_classes=n_classes,
+        sr_ratios=[4, 2, 1, 1], embed_dims=[32, 64, 160, 256],
+        patch_kernel_size=[7, 3, 3, 3], patch_stride=[4, 2, 2, 2],
+        patch_padding=[3, 1, 1, 1], mlp_ratios=[4, 4, 4, 4],
+        num_heads=[1, 2, 5, 8], depths=[2, 2, 2, 2],
+        decoder_head_embedding_dim=256, decoder_dropout=0.0)
+    model.train()  # BN batch stats == our BatchNormNoTrack; dropouts all 0
+    return model
+
+
+def test_segformer3d_forward_parity():
+    from veloxseg_tpu.models.zoo.segformer3d import SegFormer3D
+
+    torch.manual_seed(0)
+    in_ch, n_classes = 2, 2
+    ref = _load_ref_segformer(in_ch, n_classes)
+
+    flax_model = SegFormer3D(num_classes=n_classes,
+                             num_heads=(1, 2, 5, 8))
+    x_np = np.random.default_rng(3).standard_normal(
+        (2, 32, 32, 32, in_ch)).astype(np.float32)
+    template = jax.jit(flax_model.init, static_argnames="train")(
+        jax.random.PRNGKey(0), jnp.asarray(x_np), train=False)["params"]
+    params = convert_zoo_state_dict("SegFormer", ref.state_dict(), template)
+
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(
+            np.transpose(x_np, (0, 4, 1, 2, 3))))
+    ref_out = np.transpose(ref_out.numpy(), (0, 2, 3, 4, 1))
+
+    out = jax.jit(flax_model.apply, static_argnames="train")(
+        {"params": params}, jnp.asarray(x_np), train=False)
+    np.testing.assert_allclose(np.asarray(out), ref_out,
+                               atol=5e-4, rtol=5e-4)

@@ -240,8 +240,97 @@ def _make_slim_mapper(heads=(1, 2, 4, 4)):
     return map_key
 
 
+# ---------------------------------------------------------------------------
+# SegFormer3D (compared_model/SegFormer/SegFormer.py). BatchNorms → torch
+# train-mode parity (as SlimUNETR); all dropout rates default 0.
+# ---------------------------------------------------------------------------
+
+def _dense_w(w: np.ndarray) -> np.ndarray:
+    """nn.Linear (O, I) → Dense (I, O)."""
+    return np.transpose(w)
+
+
+def _map_segformer_key(key: str) -> Optional[Tuple[Tuple[str, ...], Any]]:
+    if key.endswith("num_batches_tracked") or ".running_" in key:
+        return None
+    m = re.fullmatch(
+        r"segformer_encoder\.embed_(\d)\.(patch_embeddings|norm)\."
+        r"(weight|bias)", key)
+    if m:
+        s, p = int(m.group(1)) - 1, m.group(3)
+        if m.group(2) == "patch_embeddings":
+            return (f"embed_{s}", "kernel" if p == "weight" else "bias"), \
+                _conv3d_w if p == "weight" else _identity
+        return (f"embed_norm_{s}", "scale" if p == "weight" else "bias"), \
+            _identity
+    m = re.fullmatch(r"segformer_encoder\.norm(\d)\.(weight|bias)", key)
+    if m:
+        s, p = int(m.group(1)) - 1, m.group(2)
+        return (f"stage_norm_{s}", "scale" if p == "weight" else "bias"), \
+            _identity
+    m = re.fullmatch(
+        r"segformer_encoder\.tf_block(\d)\.(\d+)\.(.+)\.(weight|bias)", key)
+    if m:
+        s, i = int(m.group(1)) - 1, m.group(2)
+        attr, p = m.group(3), m.group(4)
+        blk = f"s{s}_b{i}"
+        norm_map = {"norm1": f"{blk}_norm1", "norm2": f"{blk}_norm2",
+                    "attention.sr_norm": (f"{blk}_attn", "sr_norm")}
+        if attr in ("norm1", "norm2"):
+            return (norm_map[attr], "scale" if p == "weight" else "bias"), \
+                _identity
+        if attr == "attention.sr_norm":
+            return (f"{blk}_attn", "sr_norm",
+                    "scale" if p == "weight" else "bias"), _identity
+        if attr == "attention.sr":
+            return (f"{blk}_attn", "sr",
+                    "kernel" if p == "weight" else "bias"), \
+                _conv3d_w if p == "weight" else _identity
+        dense = {"attention.query": "query",
+                 "attention.key_value": "key_value",
+                 "attention.proj": "proj",
+                 "mlp.fc1": "fc1", "mlp.fc2": "fc2"}
+        if attr in dense:
+            parent = f"{blk}_attn" if attr.startswith("attention") \
+                else f"{blk}_mlp"
+            return (parent, dense[attr],
+                    "kernel" if p == "weight" else "bias"), \
+                _dense_w if p == "weight" else _identity
+        if attr == "mlp.dwconv.dwconv":
+            return (f"{blk}_mlp", "dwconv",
+                    "kernel" if p == "weight" else "bias"), \
+                _conv3d_w if p == "weight" else _identity
+        if attr == "mlp.dwconv.bn":
+            return (f"{blk}_mlp", "bn",
+                    "scale" if p == "weight" else "bias"), _identity
+        raise KeyError(f"unmapped SegFormer block key: {key}")
+    m = re.fullmatch(
+        r"segformer_decoder\.linear_c(\d)\.(proj|bn)\.(weight|bias)", key)
+    if m:
+        n, p = m.group(1), m.group(3)
+        if m.group(2) == "proj":
+            return (f"linear_c{n}", "kernel" if p == "weight" else "bias"), \
+                _dense_w if p == "weight" else _identity
+        return (f"linear_c{n}_norm",
+                "scale" if p == "weight" else "bias"), _identity
+    if key == "segformer_decoder.linear_fuse.0.weight":
+        return ("linear_fuse", "kernel"), _conv1x1_w
+    m = re.fullmatch(r"segformer_decoder\.linear_fuse\.1\.(weight|bias)",
+                     key)
+    if m:
+        p = m.group(1)
+        return ("fuse_bn", "scale" if p == "weight" else "bias"), _identity
+    m = re.fullmatch(r"segformer_decoder\.linear_pred\.(weight|bias)", key)
+    if m:
+        p = m.group(1)
+        return ("linear_pred", "kernel" if p == "weight" else "bias"), \
+            _conv1x1_w if p == "weight" else _identity
+    raise KeyError(f"unmapped SegFormer key: {key}")
+
+
 _CONVERTERS = {"MedNeXt": _map_mednext_key,
-               "SlimUNETR": _make_slim_mapper()}
+               "SlimUNETR": _make_slim_mapper(),
+               "SegFormer": _map_segformer_key}
 
 
 def convert_zoo_state_dict(model_name: str, state_dict: Dict[str, Any],

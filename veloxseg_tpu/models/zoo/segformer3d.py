@@ -38,15 +38,16 @@ class SRAttention(nn.Module):
     def __call__(self, x, deterministic: bool):
         b, d, h, w, c = x.shape
         hd = self.embed_dim // self.num_heads
-        q = nn.Dense(self.embed_dim, use_bias=False, name="query")(x)
+        # qkv_bias=True — MixVisionTransformer builds every block so
+        # (``SegFormer.py:354`` etc.).
+        q = nn.Dense(self.embed_dim, name="query")(x)
         q = q.reshape(b, d * h * w, self.num_heads, hd)
         src = x
         if self.sr_ratio > 1:
             src = Conv3d(self.embed_dim, self.sr_ratio,
                          stride=self.sr_ratio, padding=0, name="sr")(x)
-            src = LayerNorm(name="sr_norm")(src)
-        kv = nn.Dense(2 * self.embed_dim, use_bias=False,
-                      name="key_value")(src)
+            src = LayerNorm(eps=1e-5, name="sr_norm")(src)
+        kv = nn.Dense(2 * self.embed_dim, name="key_value")(src)
         m = math.prod(src.shape[1:4])
         kv = kv.reshape(b, m, 2, self.num_heads, hd)
         k, v = kv[:, :, 0], kv[:, :, 1]
@@ -97,16 +98,16 @@ class SegFormer3D(nn.Module):
                        stride=self.patch_stride[s],
                        padding=self.patch_padding[s],
                        name=f"embed_{s}")(x)
-            x = LayerNorm(name=f"embed_norm_{s}")(x)
+            x = LayerNorm(eps=1e-5, name=f"embed_norm_{s}")(x)
             for i in range(self.depths[s]):
-                h = LayerNorm(name=f"s{s}_b{i}_norm1")(x)
+                h = LayerNorm(eps=1e-5, name=f"s{s}_b{i}_norm1")(x)
                 x = x + SRAttention(self.embed_dims[s], self.num_heads[s],
                                     self.sr_ratios[s],
                                     name=f"s{s}_b{i}_attn")(h, det)
-                h = LayerNorm(name=f"s{s}_b{i}_norm2")(x)
+                h = LayerNorm(eps=1e-5, name=f"s{s}_b{i}_norm2")(x)
                 x = x + MixFFN(self.embed_dims[s], self.mlp_ratios[s],
                                name=f"s{s}_b{i}_mlp")(h, det)
-            x = LayerNorm(name=f"stage_norm_{s}")(x)
+            x = LayerNorm(eps=1e-5, name=f"stage_norm_{s}")(x)
             feats.append(x)
 
         c1, c2, c3, c4 = feats
@@ -116,7 +117,7 @@ class SegFormer3D(nn.Module):
                         ("linear_c2", c2), ("linear_c1", c1)):
             y = nn.Dense(self.decoder_dim, kernel_init=he_normal,
                          name=name)(c)
-            y = LayerNorm(name=f"{name}_norm")(y)
+            y = LayerNorm(eps=1e-5, name=f"{name}_norm")(y)
             if y.shape[1:4] != tgt:
                 y = _resize_halfpixel(y, tgt)
             parts.append(y)
