@@ -220,3 +220,45 @@ def test_segformer3d_forward_parity():
         {"params": params}, jnp.asarray(x_np), train=False)
     np.testing.assert_allclose(np.asarray(out), ref_out,
                                atol=5e-4, rtol=5e-4)
+
+
+def _load_ref_hdense(in_ch: int, n_cls: int, depth: int = 8):
+    if REF_ZOO not in sys.path:
+        sys.path.insert(0, REF_ZOO)
+    import importlib
+    mod = importlib.import_module("HDense.HDenseFormer")
+    model = mod.HDenseFormer_16(in_channels=in_ch, n_cls=n_cls,
+                                image_size=(32, 32, 32),
+                                transformer_depth=depth)
+    model.eval()
+    return model
+
+
+def test_hdense_forward_parity_all_deep_heads():
+    from veloxseg_tpu.models.zoo.hdense import HDenseFormer
+
+    torch.manual_seed(0)
+    in_ch, n_cls = 2, 2
+    ref = _load_ref_hdense(in_ch, n_cls)
+
+    flax_model = HDenseFormer(in_channels=in_ch, n_cls=n_cls,
+                              n_filters=16, transformer_depth=8)
+    x_np = np.random.default_rng(4).standard_normal(
+        (1, 32, 32, 32, in_ch)).astype(np.float32)
+    template = jax.jit(flax_model.init, static_argnames="train")(
+        {"params": jax.random.PRNGKey(0),
+         "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(x_np), train=True)["params"]
+    params = convert_zoo_state_dict("HDense", ref.state_dict(), template)
+
+    with torch.no_grad():
+        ref_outs = ref(torch.from_numpy(np.transpose(x_np, (0, 4, 1, 2, 3))))
+    ref_outs = [np.transpose(o.numpy(), (0, 2, 3, 4, 1)) for o in ref_outs]
+
+    outs = jax.jit(flax_model.apply,
+                   static_argnames=("train", "deterministic"))(
+        {"params": params}, jnp.asarray(x_np), train=True,
+        deterministic=True)
+    assert len(outs) == len(ref_outs) == 4
+    for o, r in zip(outs, ref_outs):
+        np.testing.assert_allclose(np.asarray(o), r, atol=5e-4, rtol=5e-4)

@@ -328,9 +328,114 @@ def _map_segformer_key(key: str) -> Optional[Tuple[Tuple[str, ...], Any]]:
     raise KeyError(f"unmapped SegFormer key: {key}")
 
 
+# ---------------------------------------------------------------------------
+# HDenseFormer (compared_model/HDense/HDenseFormer.py). InstanceNorms are
+# torch-default non-affine in UpConv (no params) and affine in BasicConv3d.
+# ---------------------------------------------------------------------------
+
+_HDENSE_UNET = {
+    "block_1_1_left": "b11l", "block_1_2_left": "b12l",
+    "block_2_1_left": "b21l", "block_2_2_left": "b22l",
+    "block_3_1_left": "b31l", "block_3_2_left": "b32l",
+    "block_4_1_left": "b41l", "block_4_2_left": "b42l",
+    "block_3_1_right": "b31r", "block_3_2_right": "b32r",
+    "block_2_1_right": "b21r", "block_2_2_right": "b22r",
+    "block_1_1_right": "b11r", "block_1_2_right": "b12r",
+}
+
+_HDENSE_HEADS = {"conv1x1": "head", "conv1x1_d1": "head_d1",
+                 "conv1x1_d2": "head_d2", "conv1x1_d3": "head_d3"}
+
+
+def _map_hdense_key(key: str) -> Optional[Tuple[Tuple[str, ...], Any]]:
+    m = re.fullmatch(r"attns\.(\d+)\.(.+)", key)
+    if m:
+        mod, rest = m.group(1), m.group(2)
+        base = (f"attns_{mod}",)
+        m2 = re.fullmatch(r"patch_embeddings\.(weight|bias)", rest)
+        if m2:
+            p = m2.group(1)
+            return base + ("patch_embed",
+                           "kernel" if p == "weight" else "bias"), \
+                _conv3d_w if p == "weight" else _identity
+        if rest == "position_embeddings":
+            return base + ("pos_embed",), _identity
+        m2 = re.fullmatch(r"blocks\.(\d+)\.0\.(.+)", rest)
+        if m2:
+            blk, inner = f"block_{m2.group(1)}", m2.group(2)
+            m3 = re.fullmatch(r"layers\.(\d+)\.(\d)\.(.+)", inner)
+            if m3:
+                j, slot, tail = m3.group(1), m3.group(2), m3.group(3)
+                if slot == "0":  # the dense-reduce Linear
+                    p = tail
+                    return base + (blk, f"reduce_{j}",
+                                   "kernel" if p == "weight" else "bias"), \
+                        _dense_w if p == "weight" else _identity
+                prenorm = "attn" if slot == "1" else "ff"
+                m4 = re.fullmatch(r"norm\.(weight|bias)", tail)
+                if m4:
+                    p = m4.group(1)
+                    return base + (blk, f"{prenorm}_norm_{j}",
+                                   "scale" if p == "weight" else "bias"), \
+                        _identity
+                if tail == "fn.to_qkv.weight":
+                    return base + (blk, f"attn_{j}", "to_qkv", "kernel"), \
+                        _dense_w
+                m4 = re.fullmatch(r"fn\.to_out\.0\.(weight|bias)", tail)
+                if m4:
+                    p = m4.group(1)
+                    return base + (blk, f"attn_{j}", "to_out",
+                                   "kernel" if p == "weight" else "bias"), \
+                        _dense_w if p == "weight" else _identity
+                m4 = re.fullmatch(r"fn\.net\.([03])\.(weight|bias)", tail)
+                if m4:
+                    fc = "fc1" if m4.group(1) == "0" else "fc2"
+                    p = m4.group(2)
+                    return base + (blk, f"ff_{j}", fc,
+                                   "kernel" if p == "weight" else "bias"), \
+                        _dense_w if p == "weight" else _identity
+            m3 = re.fullmatch(r"out_layer\.net\.([03])\.(weight|bias)",
+                              inner)
+            if m3:
+                fc = "fc1" if m3.group(1) == "0" else "fc2"
+                p = m3.group(2)
+                return base + (blk, "out_layer", fc,
+                               "kernel" if p == "weight" else "bias"), \
+                    _dense_w if p == "weight" else _identity
+        raise KeyError(f"unmapped HDense key: {key}")
+    m = re.fullmatch(r"(deep_conv|up1|up2|up3)\.double_conv\.0\."
+                     r"(weight|bias)", key)
+    if m:
+        p = m.group(2)
+        return (m.group(1), "conv", "kernel" if p == "weight" else "bias"), \
+            _conv3d_w if p == "weight" else _identity
+    m = re.fullmatch(r"(block_\d_\d_(?:left|right))\.(conv|norm)\."
+                     r"(weight|bias)", key)
+    if m:
+        our, p = _HDENSE_UNET[m.group(1)], m.group(3)
+        if m.group(2) == "conv":
+            return (our, "conv", "kernel"), _conv3d_w
+        return (our, "norm", "scale" if p == "weight" else "bias"), \
+            _identity
+    m = re.fullmatch(r"upconv_(\d)\.(weight|bias)", key)
+    if m:
+        p = m.group(2)
+        return (f"upconv{m.group(1)}",
+                "kernel" if p == "weight" else "bias"), \
+            _convT_dhwio if p == "weight" else _identity
+    m = re.fullmatch(r"(conv1x1(?:_d\d)?)\.(weight|bias)", key)
+    if m:
+        p = m.group(2)
+        return (_HDENSE_HEADS[m.group(1)],
+                "kernel" if p == "weight" else "bias"), \
+            _conv1x1_w if p == "weight" else _identity
+    raise KeyError(f"unmapped HDense key: {key}")
+
+
 _CONVERTERS = {"MedNeXt": _map_mednext_key,
                "SlimUNETR": _make_slim_mapper(),
-               "SegFormer": _map_segformer_key}
+               "SegFormer": _map_segformer_key,
+               "HDense": _map_hdense_key}
 
 
 def convert_zoo_state_dict(model_name: str, state_dict: Dict[str, Any],

@@ -75,11 +75,11 @@ class DenseAttnBlock(nn.Module):
         for i in range(self.depth):
             h = jnp.concatenate(features, axis=-1)
             h = nn.Dense(g, kernel_init=he_normal, name=f"reduce_{i}")(h)
-            a = LayerNorm(name=f"attn_norm_{i}")(h)
+            a = LayerNorm(eps=1e-5, name=f"attn_norm_{i}")(h)
             h = MHA(g, self.heads, self.dropout,
                     name=f"attn_{i}")(a, deterministic) + h
             ffn = DenseFF(2 * g, g, self.dropout, name=f"ff_{i}")
-            ffn_norm = LayerNorm(name=f"ff_norm_{i}")
+            ffn_norm = LayerNorm(eps=1e-5, name=f"ff_norm_{i}")
             h = ffn(ffn_norm(h), deterministic) + h
             # reference quirk: the appended feature is a SECOND pass of the
             # same (pre-normed) FFN applied to the block output.
@@ -165,8 +165,11 @@ class HDenseFormer(nn.Module):
     transformer_depth: int = 24
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        det = not train
+    def __call__(self, x, train: bool = False, deterministic=None):
+        # ``deterministic`` overrides dropout separately from the output
+        # structure (torch semantics: .eval() model still returns all 4
+        # deep heads; used by the torch-parity tests).
+        det = (not train) if deterministic is None else deterministic
         nf = self.n_filters
         branches = []
         for m in range(self.in_channels):
