@@ -262,3 +262,45 @@ def test_hdense_forward_parity_all_deep_heads():
     assert len(outs) == len(ref_outs) == 4
     for o, r in zip(outs, ref_outs):
         np.testing.assert_allclose(np.asarray(o), r, atol=5e-4, rtol=5e-4)
+
+
+def _load_ref_nestedformer(model_num: int, n_cls: int):
+    if REF_ZOO not in sys.path:
+        sys.path.insert(0, REF_ZOO)
+    sys.path.insert(0, DEFAULT_REFERENCE)  # 'compared_model.*' imports
+    import importlib
+    mod = importlib.import_module(
+        "compared_model.NestedFormer.medical.model.nested_former")
+    model = mod.NestedFormer(model_num=model_num, out_channels=n_cls,
+                             image_size=(48, 48, 48),
+                             window_size=(3, 3, 3))
+    model.eval()
+    return model
+
+
+def test_nestedformer_forward_parity():
+    from veloxseg_tpu.models.zoo.nestedformer import NestedFormer
+
+    torch.manual_seed(0)
+    model_num, n_cls = 2, 2
+    ref = _load_ref_nestedformer(model_num, n_cls)
+
+    flax_model = NestedFormer(model_num=model_num, out_channels=n_cls,
+                              image_size=(48, 48, 48), window=(3, 3, 3))
+    x_np = np.random.default_rng(5).standard_normal(
+        (1, 48, 48, 48, model_num)).astype(np.float32)
+    template = jax.jit(flax_model.init, static_argnames="train")(
+        {"params": jax.random.PRNGKey(0),
+         "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(x_np), train=False)["params"]
+    params = convert_zoo_state_dict("NestedFormer", ref.state_dict(),
+                                    template)
+
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(np.transpose(x_np, (0, 4, 1, 2, 3))))
+    ref_out = np.transpose(ref_out.numpy(), (0, 2, 3, 4, 1))
+
+    out = jax.jit(flax_model.apply, static_argnames="train")(
+        {"params": params}, jnp.asarray(x_np), train=False)
+    np.testing.assert_allclose(np.asarray(out), ref_out,
+                               atol=5e-4, rtol=5e-4)

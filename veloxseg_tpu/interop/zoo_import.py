@@ -432,10 +432,192 @@ def _map_hdense_key(key: str) -> Optional[Tuple[Tuple[str, ...], Any]]:
     raise KeyError(f"unmapped HDense key: {key}")
 
 
+# ---------------------------------------------------------------------------
+# NestedFormer (compared_model/NestedFormer/medical/model/). InstanceNorms
+# in the conv path are torch-default non-affine (no params).
+# ---------------------------------------------------------------------------
+
+def _global_pool_w(w: np.ndarray) -> np.ndarray:
+    """GlobalPool nn.Linear(1, all_size) weight (all, 1) → (all,)."""
+    return w[:, 0]
+
+
+def _twoconv(prefix: Tuple[str, ...], rest: str
+             ) -> Optional[Tuple[Tuple[str, ...], Any]]:
+    m = re.fullmatch(r"conv_([12])\.conv_1\.0\.(weight|bias)", rest)
+    if not m:
+        return None
+    idx = int(m.group(1)) - 1
+    p = m.group(2)
+    return prefix + (f"conv{idx}", "kernel" if p == "weight" else "bias"), \
+        _conv3d_w if p == "weight" else _identity
+
+
+def _nf_mha(our: Tuple[str, ...], attr: str, p: str):
+    qkvo = {"query": "q", "key": "k", "value": "v", "out": "out"}
+    return our + (qkvo[attr], "kernel" if p == "weight" else "bias"), \
+        _dense_w if p == "weight" else _identity
+
+
+def _map_nestedformer_key(key: str) -> Optional[Tuple[Tuple[str, ...], Any]]:
+    ln = lambda p: "scale" if p == "weight" else "bias"  # noqa: E731
+
+    m = re.fullmatch(r"encoder\.encoders\.(\d+)\.conv_0\.(.+)", key)
+    if m:
+        out = _twoconv((f"enc{m.group(1)}_conv0",), m.group(2))
+        if out is None:
+            raise KeyError(f"unmapped NestedFormer key: {key}")
+        return out
+    m = re.fullmatch(r"encoder\.encoders\.(\d+)\.down_(\d)\.(.+)", key)
+    if m:
+        base = (f"enc{m.group(1)}_down{m.group(2)}",)
+        rest = m.group(3)
+        m2 = re.fullmatch(r"embeddings\.patch_embeddings\.(weight|bias)",
+                          rest)
+        if m2:
+            p = m2.group(1)
+            return base + ("embed", "kernel" if p == "weight" else "bias"), \
+                _conv3d_w if p == "weight" else _identity
+        m2 = re.fullmatch(r"embeddings\.norm\.(weight|bias)", rest)
+        if m2:
+            return base + ("embed_norm", m2.group(1)), _identity
+        m2 = re.fullmatch(r"block_list\.(\d+)\.(.+)", rest)
+        if m2:
+            blk = base + (f"block{m2.group(1)}",)
+            inner = m2.group(2)
+            m3 = re.fullmatch(r"(attention|ffn)_norm\.(weight|bias)", inner)
+            if m3:
+                which = "attn_norm" if m3.group(1) == "attention" \
+                    else "ffn_norm"
+                return blk + (which, m3.group(2)), _identity
+            m3 = re.fullmatch(r"ffn\.fc([12])\.(weight|bias)", inner)
+            if m3:
+                p = m3.group(2)
+                return blk + (f"fc{m3.group(1)}",
+                              "kernel" if p == "weight" else "bias"), \
+                    _conv1x1_w if p == "weight" else _identity
+            m3 = re.fullmatch(r"attn\.global_layer\.(weight|bias)", inner)
+            if m3:
+                p = m3.group(1)
+                return blk + (("global_w",) if p == "weight"
+                              else ("global_b",)), \
+                    _global_pool_w if p == "weight" else _identity
+        raise KeyError(f"unmapped NestedFormer key: {key}")
+
+    m = re.fullmatch(r"fusion\.spatial_att\.embeddings\.patch_embeddings\."
+                     r"(weight|bias)", key)
+    if m:
+        p = m.group(1)
+        return ("spatial_embed", "kernel" if p == "weight" else "bias"), \
+            _conv1x1_w if p == "weight" else _identity
+    m = re.fullmatch(r"fusion\.spatial_att\.block_list\.(\d+)\.(.+)", key)
+    if m:
+        blk = (f"spatial_block{m.group(1)}",)
+        rest = m.group(2)
+        m2 = re.fullmatch(r"(attention|ffn)_norm\.(weight|bias)", rest)
+        if m2:
+            which = "attn_norm" if m2.group(1) == "attention" else "ffn_norm"
+            return blk + (which, ln(m2.group(2))), _identity
+        m2 = re.fullmatch(r"ffn\.fc([12])\.(weight|bias)", rest)
+        if m2:
+            p = m2.group(2)
+            return blk + (f"fc{m2.group(1)}",
+                          "kernel" if p == "weight" else "bias"), \
+                _dense_w if p == "weight" else _identity
+        m2 = re.fullmatch(r"attn\.([vh])_attention\.(query|key|value|out)\."
+                          r"(weight|bias)", rest)
+        if m2:
+            return _nf_mha(blk + (f"{m2.group(1)}_attn",), m2.group(2),
+                           m2.group(3))
+        m2 = re.fullmatch(r"attn\.window_attention\.to_(qkv|out)\."
+                          r"(weight|bias)", rest)
+        if m2:
+            p = m2.group(2)
+            return blk + ("win_attn", f"to_{m2.group(1)}",
+                          "kernel" if p == "weight" else "bias"), \
+                _dense_w if p == "weight" else _identity
+        if rest == "attn.window_attention.pos_embedding":
+            return blk + ("win_attn", "pos_embedding"), _identity
+        m2 = re.fullmatch(r"attn\.pos_embedding_([12])\.position_embeddings",
+                          rest)
+        if m2:
+            return blk + (f"pos{m2.group(1)}",), _identity
+        raise KeyError(f"unmapped NestedFormer key: {key}")
+
+    m = re.fullmatch(r"fusion\.modality_att\.embeddings\.(\d+)\.(.+)", key)
+    if m:
+        mod, rest = m.group(1), m.group(2)
+        m2 = re.fullmatch(r"patch_embeddings\.(weight|bias)", rest)
+        if m2:
+            p = m2.group(1)
+            return (f"cm_embed{mod}",
+                    "kernel" if p == "weight" else "bias"), \
+                _conv1x1_w if p == "weight" else _identity
+        if rest == "position_embeddings":
+            return (f"cm_pos{mod}",), _identity
+        raise KeyError(f"unmapped NestedFormer key: {key}")
+    m = re.fullmatch(r"fusion\.modality_att\.token_mixer\.token_conv\."
+                     r"(weight|bias)", key)
+    if m:
+        p = m.group(1)
+        return ("token_learner", "token_conv",
+                "kernel" if p == "weight" else "bias"), \
+            _conv3d_w if p == "weight" else _identity
+    if re.fullmatch(
+            r"fusion\.modality_att\.cross_attention\.attention_norm\."
+            r"(weight|bias)", key):
+        return None  # defined but unused in the reference forward
+    m = re.fullmatch(r"fusion\.modality_att\.cross_attention\."
+                     r"attention_norm_cross\.(weight|bias)", key)
+    if m:
+        return ("cross_norm", ln(m.group(1))), _identity
+    m = re.fullmatch(r"fusion\.modality_att\.cross_attention\.ffn_norm\."
+                     r"(weight|bias)", key)
+    if m:
+        return ("cm_ffn_norm", ln(m.group(1))), _identity
+    m = re.fullmatch(r"fusion\.modality_att\.cross_attention\.ffn\."
+                     r"fc([12])\.(weight|bias)", key)
+    if m:
+        p = m.group(2)
+        return (f"cm_fc{m.group(1)}",
+                "kernel" if p == "weight" else "bias"), \
+            _dense_w if p == "weight" else _identity
+    m = re.fullmatch(r"fusion\.modality_att\.cross_attention\.attn_cross\."
+                     r"(query|key|value|out)\.(weight|bias)", key)
+    if m:
+        return _nf_mha(("cross_attn",), m.group(1), m.group(2))
+
+    m = re.fullmatch(r"fusion_conv_(\d)\.(.+)", key)
+    if m:
+        out = _twoconv((f"fusion_conv_{m.group(1)}",), m.group(2))
+        if out is None:
+            raise KeyError(f"unmapped NestedFormer key: {key}")
+        return out
+    m = re.fullmatch(r"upcat_(\d)\.upsample\.(weight|bias)", key)
+    if m:
+        p = m.group(2)
+        return (f"upcat_{m.group(1)}_up",
+                "kernel" if p == "weight" else "bias"), \
+            _convT_dhwio if p == "weight" else _identity
+    m = re.fullmatch(r"upcat_(\d)\.convs\.(.+)", key)
+    if m:
+        out = _twoconv((f"upcat_{m.group(1)}_convs",), m.group(2))
+        if out is None:
+            raise KeyError(f"unmapped NestedFormer key: {key}")
+        return out
+    m = re.fullmatch(r"final_conv\.(weight|bias)", key)
+    if m:
+        p = m.group(1)
+        return ("final_conv", "kernel" if p == "weight" else "bias"), \
+            _conv1x1_w if p == "weight" else _identity
+    raise KeyError(f"unmapped NestedFormer key: {key}")
+
+
 _CONVERTERS = {"MedNeXt": _map_mednext_key,
                "SlimUNETR": _make_slim_mapper(),
                "SegFormer": _map_segformer_key,
-               "HDense": _map_hdense_key}
+               "HDense": _map_hdense_key,
+               "NestedFormer": _map_nestedformer_key}
 
 
 def convert_zoo_state_dict(model_name: str, state_dict: Dict[str, Any],

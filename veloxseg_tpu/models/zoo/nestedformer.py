@@ -263,6 +263,11 @@ class NestedFormer(nn.Module):
         b, d, h, w, _ = q.shape
         q_seq = q.reshape(b, d * h * w, fea[4])
         kv_tokens = []
+        # ONE token mixer shared across modalities (the reference's
+        # CrossModalityFusion builds a single ``token_mixer`` and applies
+        # it to every modality embedding, cross_modality_att.py:140-144).
+        token_mixer = TokenLearner(self.token_mixer_size,
+                                   name="token_learner")
         for m in range(self.model_num):
             e = nn.Dense(fea[4], kernel_init=he_normal,
                          name=f"cm_embed{m}")(per_mod[m][4])
@@ -271,8 +276,7 @@ class NestedFormer(nn.Module):
                              (1, n, fea[4]))
             e = e.reshape(b, n, fea[4]) + pos
             e = e.reshape(b, d, h, w, fea[4])
-            kv_tokens.append(TokenLearner(self.token_mixer_size,
-                                          name=f"token_learner{m}")(e))
+            kv_tokens.append(token_mixer(e))
         kv = jnp.concatenate(kv_tokens, axis=1)
         cross = MHA(fea[4], name="cross_attn")(q_seq, kv, det)
         y = LayerNorm(name="cross_norm")(cross + q_seq)
