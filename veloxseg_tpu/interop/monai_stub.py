@@ -82,7 +82,52 @@ def _build_modules():
                  "leakyrelu": nn.LeakyReLU, "prelu": nn.PReLU}
         return table[str(name).lower()](**kwargs)
 
-    return PatchEmbed, DropPath, trunc_normal_, get_act_layer
+    def get_norm_layer(name, spatial_dims=3, channels=1):
+        """MONAI get_norm_layer semantics for the names UNETR++ uses:
+        "instance" → torch InstanceNorm (affine=False default),
+        ("group", {"num_groups": g}), "batch"."""
+        if isinstance(name, tuple):
+            name, kwargs = name
+        else:
+            kwargs = {}
+        name = str(name).lower()
+        if name == "instance":
+            return nn.InstanceNorm3d(channels, **kwargs)
+        if name == "batch":
+            return nn.BatchNorm3d(channels, **kwargs)
+        if name == "group":
+            return nn.GroupNorm(num_channels=channels, **kwargs)
+        raise KeyError(name)
+
+    class Convolution(nn.Sequential):
+        """conv_only subset of monai Convolution (dynunet usage): a
+        Sequential holding one (transposed) conv under the name "conv"."""
+
+        def __init__(self, spatial_dims, in_channels, out_channels,
+                     strides=1, kernel_size=3, act=None, norm=None,
+                     dropout=None, bias=True, conv_only=True,
+                     is_transposed=False, padding=0, output_padding=None):
+            super().__init__()
+            assert conv_only, "stub Convolution supports conv_only=True"
+            if is_transposed:
+                conv = nn.ConvTranspose3d(
+                    in_channels, out_channels, kernel_size,
+                    stride=strides, padding=padding,
+                    output_padding=output_padding or 0, bias=bias)
+            else:
+                conv = nn.Conv3d(in_channels, out_channels, kernel_size,
+                                 stride=strides, padding=padding, bias=bias)
+            self.add_module("conv", conv)
+
+    def optional_import(name, *a, **k):
+        import importlib
+        try:
+            return importlib.import_module(name), True
+        except ImportError:
+            return None, False
+
+    return (PatchEmbed, DropPath, trunc_normal_, get_act_layer,
+            get_norm_layer, Convolution, optional_import)
 
 
 def install() -> None:
@@ -95,20 +140,82 @@ def install() -> None:
     if "monai" in sys.modules:
         return
 
-    PatchEmbed, DropPath, trunc_normal_, get_act_layer = _build_modules()
+    (PatchEmbed, DropPath, trunc_normal_, get_act_layer, get_norm_layer,
+     Convolution, optional_import) = _build_modules()
 
     monai = types.ModuleType("monai")
     networks = types.ModuleType("monai.networks")
     blocks = types.ModuleType("monai.networks.blocks")
     layers = types.ModuleType("monai.networks.layers")
+    convolutions = types.ModuleType("monai.networks.blocks.convolutions")
+    factories = types.ModuleType("monai.networks.layers.factories")
+    layer_utils = types.ModuleType("monai.networks.layers.utils")
+    utils = types.ModuleType("monai.utils")
     blocks.PatchEmbed = PatchEmbed
     layers.DropPath = DropPath
     layers.trunc_normal_ = trunc_normal_
     layers.get_act_layer = get_act_layer
+    layers.get_norm_layer = get_norm_layer
+    convolutions.Convolution = Convolution
+    factories.Act = types.SimpleNamespace(PRELU="prelu")
+    factories.Norm = types.SimpleNamespace(INSTANCE="instance",
+                                           BATCH="batch")
+    layer_utils.get_act_layer = get_act_layer
+    layer_utils.get_norm_layer = get_norm_layer
+    utils.optional_import = optional_import
     monai.networks = networks
+    monai.utils = utils
     networks.blocks = blocks
     networks.layers = layers
     sys.modules["monai"] = monai
     sys.modules["monai.networks"] = networks
     sys.modules["monai.networks.blocks"] = blocks
+    sys.modules["monai.networks.blocks.convolutions"] = convolutions
     sys.modules["monai.networks.layers"] = layers
+    sys.modules["monai.networks.layers.factories"] = factories
+    sys.modules["monai.networks.layers.utils"] = layer_utils
+    sys.modules["monai.utils"] = utils
+
+
+def install_timm_and_batchgenerators() -> None:
+    """Stubs for the UNETR++ import chain: timm ``trunc_normal_`` and the
+    (unused at forward time) batchgenerators ``pad_nd_image``."""
+    import torch
+
+    if "timm" not in sys.modules:
+        timm = types.ModuleType("timm")
+        models = types.ModuleType("timm.models")
+        tlayers = types.ModuleType("timm.models.layers")
+        tlayers.trunc_normal_ = \
+            lambda t, mean=0.0, std=1.0, a=-2.0, b=2.0: \
+            torch.nn.init.trunc_normal_(t, mean, std, a, b)
+
+        class _DropPath(torch.nn.Module):
+            def __init__(self, drop_prob=0.0, scale_by_keep=True):
+                super().__init__()
+                self.drop_prob = drop_prob
+
+            def forward(self, x):
+                return x
+
+        tlayers.DropPath = _DropPath
+        timm.models = models
+        models.layers = tlayers
+        sys.modules["timm"] = timm
+        sys.modules["timm.models"] = models
+        sys.modules["timm.models.layers"] = tlayers
+
+    if "batchgenerators" not in sys.modules:
+        bg = types.ModuleType("batchgenerators")
+        aug = types.ModuleType("batchgenerators.augmentations")
+        butils = types.ModuleType("batchgenerators.augmentations.utils")
+
+        def pad_nd_image(*a, **k):
+            raise RuntimeError("batchgenerators stub: not for runtime use")
+
+        butils.pad_nd_image = pad_nd_image
+        bg.augmentations = aug
+        aug.utils = butils
+        sys.modules["batchgenerators"] = bg
+        sys.modules["batchgenerators.augmentations"] = aug
+        sys.modules["batchgenerators.augmentations.utils"] = butils

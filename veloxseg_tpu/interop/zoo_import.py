@@ -613,11 +613,98 @@ def _map_nestedformer_key(key: str) -> Optional[Tuple[Tuple[str, ...], Any]]:
     raise KeyError(f"unmapped NestedFormer key: {key}")
 
 
+# ---------------------------------------------------------------------------
+# UNETR++ (compared_model/unetr_pp/network_architecture/tumor/). The
+# "instance" UnetResBlocks carry no norm params (monai affine=False);
+# "batch" norms map scale/bias and drop running stats.
+# ---------------------------------------------------------------------------
+
+def _upp_resblock(prefix: Tuple[str, ...], rest: str
+                  ) -> Optional[Tuple[Tuple[str, ...], Any]]:
+    if rest.endswith("num_batches_tracked") or ".running_" in rest:
+        return None
+    m = re.fullmatch(r"conv([123])\.conv\.weight", rest)
+    if m:
+        return prefix + (f"conv{m.group(1)}", "kernel"), _conv3d_w
+    m = re.fullmatch(r"norm([123])\.(weight|bias)", rest)
+    if m:
+        p = m.group(2)
+        return prefix + (f"norm{m.group(1)}",
+                         "scale" if p == "weight" else "bias"), _identity
+    raise KeyError(f"unmapped UNETR++ resblock key: {rest}")
+
+
+def _upp_tblock(prefix: Tuple[str, ...], rest: str
+                ) -> Optional[Tuple[Tuple[str, ...], Any]]:
+    m = re.fullmatch(r"norm\.(weight|bias)", rest)
+    if m:
+        p = m.group(1)
+        return prefix + ("norm", "scale" if p == "weight" else "bias"), \
+            _identity
+    if rest == "gamma":
+        return prefix + ("gamma",), _identity
+    if rest == "pos_embed":
+        return prefix + ("pos_embed",), _identity
+    if rest == "epa_block.qkvv.weight":
+        return prefix + ("epa", "qkvv", "kernel"), _dense_w
+    m = re.fullmatch(r"epa_block\.(EF|temperature2?)", rest)
+    if m:
+        return prefix + ("epa", m.group(1)), _identity
+    m = re.fullmatch(r"conv51\.(.+)", rest)
+    if m:
+        return _upp_resblock(prefix + ("conv51",), m.group(1))
+    m = re.fullmatch(r"conv8\.1\.(weight|bias)", rest)
+    if m:
+        p = m.group(1)
+        # ours is a Conv3d module (kernel (1,1,1,C,C)), not a Dense
+        return prefix + ("conv8", "kernel" if p == "weight" else "bias"), \
+            _conv3d_w if p == "weight" else _identity
+    raise KeyError(f"unmapped UNETR++ transformer key: {rest}")
+
+
+def _map_unetrpp_key(key: str) -> Optional[Tuple[Tuple[str, ...], Any]]:
+    m = re.fullmatch(r"unetr_pp_encoder\.downsample_layers\.(\d)\.(0\.conv|1)"
+                     r"\.(weight|bias)", key)
+    if m:
+        i, p = int(m.group(1)), m.group(3)
+        our = "stem" if i == 0 else f"down{i}"
+        if m.group(2) == "0.conv":
+            return (f"{our}_conv", "kernel"), _conv3d_w
+        return (f"{our}_norm", "scale" if p == "weight" else "bias"), \
+            _identity
+    m = re.fullmatch(r"unetr_pp_encoder\.stages\.(\d)\.(\d+)\.(.+)", key)
+    if m:
+        return _upp_tblock((f"stage{m.group(1)}_block{m.group(2)}",),
+                           m.group(3))
+    m = re.fullmatch(r"encoder1\.(.+)", key)
+    if m:
+        return _upp_resblock(("encoder1",), m.group(1))
+    m = re.fullmatch(r"decoder([2-5])\.transp_conv\.conv\.weight", key)
+    if m:
+        return (f"decoder{m.group(1)}_up", "kernel"), _convT_dhwio
+    m = re.fullmatch(r"decoder([345])\.decoder_block\.0\.(\d+)\.(.+)", key)
+    if m:
+        return _upp_tblock(
+            (f"decoder{m.group(1)}_block{m.group(2)}",), m.group(3))
+    # conv_decoder appends the UnetResBlock directly (no Sequential)
+    m = re.fullmatch(r"decoder2\.decoder_block\.0\.(.+)", key)
+    if m:
+        return _upp_resblock(("decoder2_conv",), m.group(1))
+    m = re.fullmatch(r"out([123])\.conv\.conv\.(weight|bias)", key)
+    if m:
+        p = m.group(2)
+        return (f"out{m.group(1)}",
+                "kernel" if p == "weight" else "bias"), \
+            _conv1x1_w if p == "weight" else _identity
+    raise KeyError(f"unmapped UNETR++ key: {key}")
+
+
 _CONVERTERS = {"MedNeXt": _map_mednext_key,
                "SlimUNETR": _make_slim_mapper(),
                "SegFormer": _map_segformer_key,
                "HDense": _map_hdense_key,
-               "NestedFormer": _map_nestedformer_key}
+               "NestedFormer": _map_nestedformer_key,
+               "UNETRpp": _map_unetrpp_key}
 
 
 def convert_zoo_state_dict(model_name: str, state_dict: Dict[str, Any],

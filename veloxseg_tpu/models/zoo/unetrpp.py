@@ -38,13 +38,15 @@ class UnetResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # monai get_conv_layer defaults bias=False (dynunet_block.py:225)
         res = x
-        y = Conv3d(self.features, 3, name="conv1")(x)
+        y = Conv3d(self.features, 3, use_bias=False, name="conv1")(x)
         y = nn.leaky_relu(self._norm("norm1")(y), 0.01)
-        y = Conv3d(self.features, 3, name="conv2")(y)
+        y = Conv3d(self.features, 3, use_bias=False, name="conv2")(y)
         y = self._norm("norm2")(y)
         if res.shape[-1] != self.features:
-            res = Conv3d(self.features, 1, padding=0, name="conv3")(res)
+            res = Conv3d(self.features, 1, padding=0, use_bias=False,
+                         name="conv3")(res)
             res = self._norm("norm3")(res)
         return nn.leaky_relu(y + res, 0.01)
 
@@ -102,7 +104,11 @@ class EPA(nn.Module):
                                              deterministic=deterministic)
         x_sa = jnp.einsum("bhnk,bhdk->bhnd", attn_sa.astype(v_sa.dtype),
                           v_sa_proj)
-        x_sa = x_sa.transpose(0, 2, 1, 3).reshape(b, n, c)
+        # Reference quirk (transformerblock.py:131): the spatial path is
+        # permuted (B,h,N,hd)→(B,hd,h,N) and reshaped straight to
+        # (B,N,C) — a channel/token scramble (the channel path uses the
+        # clean permute). Part of the trained function; preserved.
+        x_sa = x_sa.transpose(0, 3, 1, 2).reshape(b, n, c)
         return x_ca + x_sa
 
 
@@ -124,7 +130,7 @@ class EPABlock(nn.Module):
                            lambda k, s: 1e-6 * jnp.ones(s), (c,))
         attn = EPA(self.input_size, c, self.proj_size, self.num_heads,
                    self.dropout_rate, name="epa")(
-                       LayerNorm(name="norm")(seq), deterministic)
+                       LayerNorm(eps=1e-5, name="norm")(seq), deterministic)
         seq = seq + gamma * attn
         vol = seq.reshape(b, d, hh, w, c)
         y = UnetResBlock(c, norm="batch", name="conv51")(vol)
@@ -157,12 +163,12 @@ class UNETRPP(nn.Module):
         for i in range(4):
             if i == 0:
                 h = Conv3d(self.dims[0], 4, stride=4, padding=0,
-                           name="stem_conv")(h)
+                           use_bias=False, name="stem_conv")(h)
                 h = GroupNorm(num_groups=x.shape[-1], name="stem_norm")(h)
             else:
                 g = self.dims[i - 1]
                 h = Conv3d(self.dims[i], 2, stride=2, padding=0,
-                           name=f"down{i}_conv")(h)
+                           use_bias=False, name=f"down{i}_conv")(h)
                 h = GroupNorm(num_groups=g, name=f"down{i}_norm")(h)
             for j in range(self.depths[i]):
                 h = EPABlock(input_sizes[i], self.dims[i],
@@ -175,7 +181,8 @@ class UNETRPP(nn.Module):
 
         def up_stage(xin, skip, ch, in_size, name, conv_decoder=False,
                      up_k=2):
-            y = ConvTranspose3d(ch, up_k, up_k, name=f"{name}_up")(xin)
+            y = ConvTranspose3d(ch, up_k, up_k, use_bias=False,
+                                name=f"{name}_up")(xin)
             y = y + skip
             if conv_decoder:
                 return UnetResBlock(ch, name=f"{name}_conv")(y)
