@@ -370,3 +370,59 @@ def test_unetrpp_forward_parity_all_deep_heads(monkeypatch):
         {"params": params}, jnp.asarray(x_np), train=False)
     np.testing.assert_allclose(np.asarray(out_eval), ref_outs[0],
                                atol=5e-4, rtol=5e-4)
+
+
+def _load_ref_a2fseg():
+    import types
+    from veloxseg_tpu.interop import monai_stub
+    monai_stub.install()
+    monai_stub.install_timm_and_batchgenerators()
+    if "skimage" not in sys.modules:
+        sk = types.ModuleType("skimage")
+        seg = types.ModuleType("skimage.segmentation")
+        sk.segmentation = seg
+        sys.modules["skimage"] = sk
+        sys.modules["skimage.segmentation"] = seg
+    if DEFAULT_REFERENCE not in sys.path:
+        sys.path.insert(0, DEFAULT_REFERENCE)
+    import importlib
+    import json
+    cfg = json.load(open(os.path.join(
+        DEFAULT_REFERENCE, "config", "models_config_autopetii.json")))[
+        "A2FSeg"]
+    mod = importlib.import_module(
+        "compared_model.A2FSeg.nnunet.network_architecture.my."
+        "generic_MAML3_channel")
+    model = mod.Generic_MAML_multi3_channel(**cfg)
+    # train mode: BN batch stats == our BatchNormNoTrack; the config sets
+    # dropout p=0, so the forward stays deterministic.
+    model.train()
+    return model, cfg
+
+
+def test_a2fseg_forward_parity_all_16_heads():
+    from veloxseg_tpu.models.zoo.a2fseg import A2FSeg
+
+    torch.manual_seed(0)
+    ref, cfg = _load_ref_a2fseg()
+
+    flax_model = A2FSeg(modality_num=cfg["modality_num"],
+                        base=cfg["base_num_features"],
+                        num_classes=cfg["num_classes"],
+                        num_pool=cfg["num_pool"])
+    x_np = np.random.default_rng(7).standard_normal(
+        (1, 64, 64, 64, cfg["modality_num"])).astype(np.float32)
+    template = jax.jit(flax_model.init, static_argnames="train")(
+        jax.random.PRNGKey(0), jnp.asarray(x_np), train=True)["params"]
+    params = convert_zoo_state_dict("A2FSeg", ref.state_dict(), template)
+
+    with torch.no_grad():
+        ref_outs = ref(torch.from_numpy(np.transpose(x_np, (0, 4, 1, 2, 3))))
+    ref_outs = [np.transpose(o.numpy(), (0, 2, 3, 4, 1)) for o in ref_outs]
+
+    outs = jax.jit(flax_model.apply, static_argnames="train")(
+        {"params": params}, jnp.asarray(x_np), train=True)
+    assert len(outs) == len(ref_outs) == 1 + cfg["modality_num"] * 5 + 5
+    for i, (o, r) in enumerate(zip(outs, ref_outs)):
+        np.testing.assert_allclose(np.asarray(o), r, atol=1e-3, rtol=1e-3,
+                                   err_msg=f"head {i}")

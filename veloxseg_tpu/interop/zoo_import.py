@@ -699,12 +699,116 @@ def _map_unetrpp_key(key: str) -> Optional[Tuple[Tuple[str, ...], Any]]:
     raise KeyError(f"unmapped UNETR++ key: {key}")
 
 
+# ---------------------------------------------------------------------------
+# A2FSeg (compared_model/A2FSeg/.../generic_MAML3_channel.py; the config
+# sets convolutional_pooling/upsampling=True and dropout p=0). BatchNorms
+# → torch train-mode parity. The fusion Generic_UNet_Decoder registers
+# conv_blocks_context/td modules it never uses in forward — skipped.
+# ---------------------------------------------------------------------------
+
+def _a2f_stacked(prefix: Tuple[str, ...], rest: str
+                 ) -> Optional[Tuple[Tuple[str, ...], Any]]:
+    """One ConvDropoutNormNonlin: ``blocks.{i}.(conv|instnorm).*``."""
+    if rest.endswith("num_batches_tracked") or ".running_" in rest:
+        return None
+    m = re.fullmatch(r"(conv|instnorm)\.(weight|bias)", rest)
+    if not m:
+        raise KeyError(f"unmapped A2FSeg conv-block key: {rest}")
+    p = m.group(2)
+    if m.group(1) == "conv":
+        return prefix + ("conv", "kernel" if p == "weight" else "bias"), \
+            _conv3d_w if p == "weight" else _identity
+    return prefix + ("norm", "scale" if p == "weight" else "bias"), \
+        _identity
+
+
+def _a2f_unet(enc: str, dec: str, rest: str
+              ) -> Optional[Tuple[Tuple[str, ...], Any]]:
+    m = re.fullmatch(r"conv_blocks_context\.(\d)\.blocks\.([01])\.(.+)",
+                     rest)
+    if m and int(m.group(1)) < 5:
+        ab = "a" if m.group(2) == "0" else "b"
+        return _a2f_stacked((enc, f"ctx{m.group(1)}_{ab}"), m.group(3))
+    m = re.fullmatch(r"conv_blocks_context\.5\.([01])\.blocks\.0\.(.+)",
+                     rest)
+    if m:
+        ab = "a" if m.group(1) == "0" else "b"
+        return _a2f_stacked((enc, f"bottleneck_{ab}"), m.group(2))
+    m = re.fullmatch(r"tu\.(\d)\.weight", rest)
+    if m:
+        return (dec, f"tu{m.group(1)}", "kernel"), _convT_dhwio
+    m = re.fullmatch(r"conv_blocks_localization\.(\d)\.([01])\.blocks\.0\."
+                     r"(.+)", rest)
+    if m:
+        ab = "a" if m.group(2) == "0" else "b"
+        return _a2f_stacked((dec, f"loc{m.group(1)}_{ab}"), m.group(3))
+    m = re.fullmatch(r"seg_outputs\.(\d)\.weight", rest)
+    if m:
+        return (dec, f"seg{m.group(1)}", "kernel"), _conv1x1_w
+    raise KeyError(f"unmapped A2FSeg unet key: {rest}")
+
+
+def _map_a2fseg_key(key: str) -> Optional[Tuple[Tuple[str, ...], Any]]:
+    if key.endswith("num_batches_tracked") or ".running_" in key:
+        return None
+    m = re.fullmatch(r"modality_specific_models\.(\d+)\.(.+)", key)
+    if m:
+        mod = m.group(1)
+        return _a2f_unet(f"enc{mod}", f"dec{mod}", m.group(2))
+    m = re.fullmatch(r"fusion_decoder\.(.+)", key)
+    if m:
+        rest = m.group(1)
+        if rest.startswith("conv_blocks_context.") or \
+                rest.startswith("td."):
+            return None  # registered but unused in the fusion forward
+        m2 = re.fullmatch(r"tu\.(\d)\.weight", rest)
+        if m2:
+            return (f"fusion_tu{m2.group(1)}", "kernel"), _convT_dhwio
+        m2 = re.fullmatch(r"conv_blocks_localization\.(\d)\.([01])\."
+                          r"blocks\.0\.(.+)", rest)
+        if m2:
+            ab = "a" if m2.group(2) == "0" else "b"
+            return _a2f_stacked((f"fusion_loc{m2.group(1)}_{ab}",),
+                                m2.group(3))
+        m2 = re.fullmatch(r"seg_outputs\.(\d)\.weight", rest)
+        if m2:
+            return (f"fusion_seg{m2.group(1)}", "kernel"), _conv1x1_w
+        raise KeyError(f"unmapped A2FSeg fusion key: {key}")
+    m = re.fullmatch(r"modality_aware_modules\.(\d+)\.([013])\."
+                     r"(weight|bias)", key)
+    if m:
+        mod, slot, p = m.group(1), m.group(2), m.group(3)
+        if slot == "0":
+            return (f"aware{mod}_a", "conv",
+                    "kernel" if p == "weight" else "bias"), \
+                _conv3d_w if p == "weight" else _identity
+        if slot == "1":
+            return (f"aware{mod}_a", "norm",
+                    "scale" if p == "weight" else "bias"), _identity
+        return (f"aware{mod}_b",
+                "kernel" if p == "weight" else "bias"), \
+            _conv3d_w if p == "weight" else _identity
+    m = re.fullmatch(r"lastconv\.0\.([01])\.(weight|bias)", key)
+    if m:
+        slot, p = m.group(1), m.group(2)
+        if slot == "0":
+            return ("lastconv", "conv",
+                    "kernel" if p == "weight" else "bias"), \
+                _conv3d_w if p == "weight" else _identity
+        return ("lastconv", "norm",
+                "scale" if p == "weight" else "bias"), _identity
+    if key == "output.weight":
+        return ("output", "kernel"), _conv1x1_w
+    raise KeyError(f"unmapped A2FSeg key: {key}")
+
+
 _CONVERTERS = {"MedNeXt": _map_mednext_key,
                "SlimUNETR": _make_slim_mapper(),
                "SegFormer": _map_segformer_key,
                "HDense": _map_hdense_key,
                "NestedFormer": _map_nestedformer_key,
-               "UNETRpp": _map_unetrpp_key}
+               "UNETRpp": _map_unetrpp_key,
+               "A2FSeg": _map_a2fseg_key}
 
 
 def convert_zoo_state_dict(model_name: str, state_dict: Dict[str, Any],

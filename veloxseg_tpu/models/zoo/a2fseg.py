@@ -83,9 +83,13 @@ class NNUNetDecoder(nn.Module):
             x = ConvBlock(skip_ch, 1, name=f"loc{u}_a")(x)
             x = ConvBlock(skip_ch, 1, name=f"loc{u}_b")(x)
             feats.append(x)
-            segs.append(nn.Dense(self.num_classes, use_bias=False,
-                                 kernel_init=he_normal,
-                                 name=f"seg{u}")(x))
+            # final_nonlin: the reference SOFTMAXES every deep seg head
+            # (Generic_UNet.forward ``self.final_nonlin(...)``); only the
+            # top-level fused output stays raw logits.
+            segs.append(nn.softmax(
+                nn.Dense(self.num_classes, use_bias=False,
+                         kernel_init=he_normal,
+                         name=f"seg{u}")(x), axis=-1))
         # reference deep order: [seg_full, lower scales high→low res]
         deep = [segs[-1]] + segs[:-1][::-1]
         return x, deep, feats
@@ -132,9 +136,10 @@ class A2FSeg(nn.Module):
             h = jnp.concatenate([h, mean_levels[u + 1]], axis=-1)
             h = ConvBlock(skip_ch, 1, name=f"fusion_loc{u}_a")(h)
             h = ConvBlock(skip_ch, 1, name=f"fusion_loc{u}_b")(h)
-            fusion_deep.append(nn.Dense(self.num_classes, use_bias=False,
-                                        kernel_init=he_normal,
-                                        name=f"fusion_seg{u}")(h))
+            fusion_deep.append(nn.softmax(
+                nn.Dense(self.num_classes, use_bias=False,
+                         kernel_init=he_normal,
+                         name=f"fusion_seg{u}")(h), axis=-1))
         fusion_feat = h
         deep_outputs += [fusion_deep[-1]] + fusion_deep[:-1][::-1]
 
