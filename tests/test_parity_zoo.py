@@ -426,3 +426,60 @@ def test_a2fseg_forward_parity_all_16_heads():
     for i, (o, r) in enumerate(zip(outs, ref_outs)):
         np.testing.assert_allclose(np.asarray(o), r, atol=1e-3, rtol=1e-3,
                                    err_msg=f"head {i}")
+
+
+def _load_ref_superlightnet(cfg):
+    from veloxseg_tpu.interop import monai_stub
+    monai_stub.install()
+    monai_stub.install_timm_and_batchgenerators()
+    if REF_ZOO not in sys.path:
+        sys.path.insert(0, REF_ZOO)
+    import importlib
+    mod = importlib.import_module("SuperLightNet.superlightnet")
+    model = mod.NormalU_Net(**cfg)
+    model.eval()
+    return model
+
+
+def test_superlightnet_forward_parity(monkeypatch):
+    """Also validates the port's bidirectional-scan equivalence: the
+    reference runs GHPA twice (forward + batch-folded flip); ours runs it
+    once and adds the flip along the folded axis — verified identical."""
+    import json
+    from veloxseg_tpu.models.zoo.superlightnet import SuperLightNet
+
+    cfg = json.load(open(os.path.join(
+        DEFAULT_REFERENCE, "config", "models_config_autopetii.json")))[
+        "SuperLightNet"]
+    torch.manual_seed(0)
+    ref = _load_ref_superlightnet(cfg)
+    # the reference draws a random fold axis per THPA block even at eval;
+    # pin it to direction 0 (fold h) to match our deterministic eval path
+    monkeypatch.setattr(
+        torch, "randint",
+        lambda low, high, size, **kw: torch.zeros(size, dtype=torch.long))
+
+    flax_model = SuperLightNet(
+        class_nums=cfg.get("class_nums", 4),
+        n_channels=cfg.get("n_channels", 24),
+        depths={"small": (1, 1, 2, 2, 2), "medium": (3, 4, 4, 4, 4),
+                "large": (3, 4, 8, 8, 8)}[
+            cfg.get("depths_unidirectional", "small")])
+    in_ch = cfg.get("init_channels", 4)
+    x_np = np.random.default_rng(8).standard_normal(
+        (1, 64, 64, 64, in_ch)).astype(np.float32)
+    template = jax.jit(flax_model.init, static_argnames="train")(
+        {"params": jax.random.PRNGKey(0),
+         "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(x_np), train=False)["params"]
+    params = convert_zoo_state_dict("SuperLightNet", ref.state_dict(),
+                                    template)
+
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(np.transpose(x_np, (0, 4, 1, 2, 3))))
+    ref_out = np.transpose(ref_out.numpy(), (0, 2, 3, 4, 1))
+
+    out = jax.jit(flax_model.apply, static_argnames="train")(
+        {"params": params}, jnp.asarray(x_np), train=False)
+    np.testing.assert_allclose(np.asarray(out), ref_out,
+                               atol=1e-3, rtol=1e-3)

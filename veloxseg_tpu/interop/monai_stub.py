@@ -101,23 +101,54 @@ def _build_modules():
 
     class Convolution(nn.Sequential):
         """conv_only subset of monai Convolution (dynunet usage): a
-        Sequential holding one (transposed) conv under the name "conv"."""
+        Sequential holding one (transposed) conv under the name "conv".
+        ``padding`` defaults to monai's same-padding (k-1)//2 for s=1."""
 
-        def __init__(self, spatial_dims, in_channels, out_channels,
+        def __init__(self, spatial_dims=3, in_channels=1, out_channels=1,
                      strides=1, kernel_size=3, act=None, norm=None,
                      dropout=None, bias=True, conv_only=True,
-                     is_transposed=False, padding=0, output_padding=None):
+                     is_transposed=False, padding=None,
+                     output_padding=None, groups=1):
             super().__init__()
             assert conv_only, "stub Convolution supports conv_only=True"
+            if padding is None:
+                k = kernel_size if isinstance(kernel_size, int) \
+                    else kernel_size[0]
+                s = strides if isinstance(strides, int) else strides[0]
+                padding = max((k - s + 1) // 2, 0) if not is_transposed \
+                    else 0
             if is_transposed:
                 conv = nn.ConvTranspose3d(
                     in_channels, out_channels, kernel_size,
                     stride=strides, padding=padding,
-                    output_padding=output_padding or 0, bias=bias)
+                    output_padding=output_padding or 0, bias=bias,
+                    groups=groups)
             else:
                 conv = nn.Conv3d(in_channels, out_channels, kernel_size,
-                                 stride=strides, padding=padding, bias=bias)
+                                 stride=strides, padding=padding, bias=bias,
+                                 groups=groups)
             self.add_module("conv", conv)
+
+    class UpSample(nn.Module):
+        """monai UpSample, NONTRAINABLE mode: parameter-free interpolate
+        (linear → trilinear for 3-D)."""
+
+        def __init__(self, spatial_dims=3, in_channels=None,
+                     out_channels=None, scale_factor=2, mode="nontrainable",
+                     interp_mode="linear", align_corners=False, **kw):
+            super().__init__()
+            assert str(mode).lower() == "nontrainable", \
+                "stub UpSample supports NONTRAINABLE only"
+            self.scale_factor = scale_factor
+            self.align_corners = align_corners
+            self.interp = {2: "bilinear", 3: "trilinear"}[spatial_dims] \
+                if str(interp_mode).lower() == "linear" \
+                else str(interp_mode).lower()
+
+        def forward(self, x):
+            return nn.functional.interpolate(
+                x, scale_factor=self.scale_factor, mode=self.interp,
+                align_corners=self.align_corners)
 
     def optional_import(name, *a, **k):
         import importlib
@@ -127,7 +158,7 @@ def _build_modules():
             return None, False
 
     return (PatchEmbed, DropPath, trunc_normal_, get_act_layer,
-            get_norm_layer, Convolution, optional_import)
+            get_norm_layer, Convolution, UpSample, optional_import)
 
 
 def install() -> None:
@@ -141,13 +172,14 @@ def install() -> None:
         return
 
     (PatchEmbed, DropPath, trunc_normal_, get_act_layer, get_norm_layer,
-     Convolution, optional_import) = _build_modules()
+     Convolution, UpSample, optional_import) = _build_modules()
 
     monai = types.ModuleType("monai")
     networks = types.ModuleType("monai.networks")
     blocks = types.ModuleType("monai.networks.blocks")
     layers = types.ModuleType("monai.networks.layers")
     convolutions = types.ModuleType("monai.networks.blocks.convolutions")
+    upsample_mod = types.ModuleType("monai.networks.blocks.upsample")
     factories = types.ModuleType("monai.networks.layers.factories")
     layer_utils = types.ModuleType("monai.networks.layers.utils")
     utils = types.ModuleType("monai.utils")
@@ -157,12 +189,20 @@ def install() -> None:
     layers.get_act_layer = get_act_layer
     layers.get_norm_layer = get_norm_layer
     convolutions.Convolution = Convolution
+    upsample_mod.UpSample = UpSample
+    blocks.convolutions = convolutions
+    blocks.upsample = upsample_mod
+    blocks.UpSample = UpSample
     factories.Act = types.SimpleNamespace(PRELU="prelu")
     factories.Norm = types.SimpleNamespace(INSTANCE="instance",
                                            BATCH="batch")
     layer_utils.get_act_layer = get_act_layer
     layer_utils.get_norm_layer = get_norm_layer
     utils.optional_import = optional_import
+    utils.InterpolateMode = types.SimpleNamespace(LINEAR="linear",
+                                                  NEAREST="nearest")
+    utils.UpsampleMode = types.SimpleNamespace(
+        NONTRAINABLE="nontrainable", DECONV="deconv", PIXELSHUFFLE="ps")
     monai.networks = networks
     monai.utils = utils
     networks.blocks = blocks
@@ -171,6 +211,7 @@ def install() -> None:
     sys.modules["monai.networks"] = networks
     sys.modules["monai.networks.blocks"] = blocks
     sys.modules["monai.networks.blocks.convolutions"] = convolutions
+    sys.modules["monai.networks.blocks.upsample"] = upsample_mod
     sys.modules["monai.networks.layers"] = layers
     sys.modules["monai.networks.layers.factories"] = factories
     sys.modules["monai.networks.layers.utils"] = layer_utils

@@ -802,13 +802,133 @@ def _map_a2fseg_key(key: str) -> Optional[Tuple[Tuple[str, ...], Any]]:
     raise KeyError(f"unmapped A2FSeg key: {key}")
 
 
+# ---------------------------------------------------------------------------
+# SuperLightNet (compared_model/SuperLightNet/superlightnet.py,
+# ``NormalU_Net``). InstanceNorms are non-affine (no params); GHPA runs on
+# 2-D folded slices → 2-D/1-D conv layout transforms.
+# ---------------------------------------------------------------------------
+
+def _conv2d_w(w: np.ndarray) -> np.ndarray:
+    """Conv2d (O, I/g, kh, kw) → flax (kh, kw, I/g, O)."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _conv1d_w(w: np.ndarray) -> np.ndarray:
+    """Conv1d (O, I/g, k) → flax (k, I/g, O)."""
+    return np.transpose(w, (2, 1, 0))
+
+
+def _conv2d_1x1_dense(w: np.ndarray) -> np.ndarray:
+    """Conv2d 1×1 (O, I, 1, 1) → Dense (I, O)."""
+    return np.transpose(w.reshape(w.shape[0], w.shape[1]))
+
+
+_SLN_GHPA = {
+    "conv_xy.0": ("conv_xy_dw", _conv2d_w),
+    "conv_xy.2": ("conv_xy_pw", _conv2d_1x1_dense),
+    "conv_zx.0": ("conv_zx_dw", _conv1d_w),
+    "conv_zx.2": ("conv_zx_pw", _conv2d_1x1_dense),
+    "conv_zy.0": ("conv_zy_dw", _conv1d_w),
+    "conv_zy.2": ("conv_zy_pw", _conv2d_1x1_dense),
+    "dw.0": ("dw_pw", _conv2d_1x1_dense),
+    "dw.2": ("dw_dw", _conv2d_w),
+    "ldw.0": ("ldw_dw", _conv2d_w),
+    "ldw.2": ("ldw_pw", _conv2d_1x1_dense),
+}
+
+
+def _map_sln_thpa(prefix: Tuple[str, ...], rest: str
+                  ) -> Optional[Tuple[Tuple[str, ...], Any]]:
+    m = re.fullmatch(r"mlp\.fc([12])\.(weight|bias)", rest)
+    if m:
+        p = m.group(2)
+        return prefix + (f"mlp_fc{m.group(1)}",
+                         "kernel" if p == "weight" else "bias"), \
+            _conv1x1_w if p == "weight" else _identity
+    m = re.fullmatch(r"GHPA_dim\.(.+)", rest)
+    if m:
+        inner = m.group(1)
+        g = prefix + ("ghpa",)
+        if inner == "params_xy":        # (1, c, x, y) → (1, x, y, c)
+            return g + ("params_xy",), \
+                lambda w: np.transpose(w, (0, 2, 3, 1))
+        if inner in ("params_zx", "params_zy"):  # (1,1,c,n) → (1,n,c)
+            return g + (inner,), \
+                lambda w: np.transpose(w[0], (0, 2, 1))
+        m2 = re.fullmatch(r"norm([12])\.(weight|bias)", inner)
+        if m2:
+            p = m2.group(2)
+            return g + (f"norm{m2.group(1)}",
+                        "scale" if p == "weight" else "bias"), _identity
+        m2 = re.fullmatch(r"((?:conv_xy|conv_zx|conv_zy|dw|ldw)\.[02])\."
+                          r"(weight|bias)", inner)
+        if m2:
+            name, tf = _SLN_GHPA[m2.group(1)]
+            p = m2.group(2)
+            return g + (name, "kernel" if p == "weight" else "bias"), \
+                tf if p == "weight" else _identity
+    raise KeyError(f"unmapped SuperLightNet THPA key: {rest}")
+
+
+def _map_superlightnet_key(key: str
+                           ) -> Optional[Tuple[Tuple[str, ...], Any]]:
+    m = re.fullmatch(r"ParallelU_Net_enc_m\.stem\.(weight|bias)", key)
+    if m:
+        p = m.group(1)
+        return ("stem", "kernel" if p == "weight" else "bias"), \
+            _conv1x1_w if p == "weight" else _identity
+    m = re.fullmatch(r"ParallelU_Net_enc_m\.repr_block_(\d)\.(\d+)\.(.+)",
+                     key)
+    if m:
+        return _map_sln_thpa((f"repr{m.group(1)}_{m.group(2)}",),
+                             m.group(3))
+    m = re.fullmatch(r"ParallelU_Net_enc_m\.emb_block\.(\d+)\.(.+)", key)
+    if m:
+        return _map_sln_thpa((f"emb_{m.group(1)}",), m.group(2))
+    m = re.fullmatch(r"ParallelU_Net_enc_m\.dwn_block_(\d)\.proj\."
+                     r"(weight|bias)", key)
+    if m:
+        p = m.group(2)
+        return (f"down{m.group(1)}",
+                "kernel" if p == "weight" else "bias"), \
+            _conv3d_w if p == "weight" else _identity
+    m = re.fullmatch(r"ParallelU_Net_dec_m\.repr_block_up_(\d)\.(.+)", key)
+    if m:
+        up = f"up{m.group(1)}"
+        rest = m.group(2)
+        if rest == "upc.conv.weight":
+            return (up, "upc", "kernel"), _conv1x1_w
+        if rest == "repr_mldw.0.conv.weight":
+            return (up, "mldw_conv", "kernel"), _conv3d_w
+        if rest == "repr_mldw.2.conv.weight":
+            return (up, "mldw_pw", "kernel"), _conv1x1_w
+        if rest == "group_skip_scale":     # (1, C, 1, 1, 1) → (C,)
+            return (up, "skip_scale"), lambda w: w.reshape(-1)
+        if rest == "group_res_scale":
+            return (up, "res_scale"), _identity
+        raise KeyError(f"unmapped SuperLightNet key: {key}")
+    m = re.fullmatch(r"norm\.(weight|bias)", key)
+    if m:
+        p = m.group(1)
+        return ("head_norm", "scale" if p == "weight" else "bias"), \
+            _identity
+    m = re.fullmatch(r"proj\.fc([12])\.(weight|bias)", key)
+    if m:
+        p = m.group(2)
+        return (f"head_fc{m.group(1)}",
+                "kernel" if p == "weight" else "bias"), \
+            _conv1x1_w if p == "weight" else _identity
+    raise KeyError(f"unmapped SuperLightNet key: {key}")
+
+
 _CONVERTERS = {"MedNeXt": _map_mednext_key,
                "SlimUNETR": _make_slim_mapper(),
                "SegFormer": _map_segformer_key,
                "HDense": _map_hdense_key,
                "NestedFormer": _map_nestedformer_key,
                "UNETRpp": _map_unetrpp_key,
-               "A2FSeg": _map_a2fseg_key}
+               "A2FSeg": _map_a2fseg_key,
+               "SuperLightNet": _map_superlightnet_key}
 
 
 def convert_zoo_state_dict(model_name: str, state_dict: Dict[str, Any],
