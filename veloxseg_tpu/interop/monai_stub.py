@@ -1,17 +1,14 @@
-"""Minimal MONAI stand-ins so the reference torch model imports without MONAI.
+"""Minimal MONAI/timm/batchgenerators stand-ins so the reference torch
+models import without those packages (parity tests only).
 
-The reference ``model/`` package needs exactly four MONAI symbols
-(``model/Encoder.py:4``, ``model/components/PWA.py:5``,
-``model/components/attention_utils.py:6-7``):
-
-- ``monai.networks.blocks.PatchEmbed`` — non-overlapping Conv3d/2d patch
-  projection (attribute name ``proj``) with optional norm; for the
-  divisible inputs the reference uses, this is exactly
-  ``Conv(in, embed_dim, kernel=patch, stride=patch)``.
-- ``monai.networks.layers.DropPath`` — stochastic depth (identity in eval;
-  per-sample Bernoulli drop in train).
-- ``monai.networks.layers.trunc_normal_`` — truncated-normal init.
-- ``monai.networks.layers.get_act_layer`` — activation factory ("GELU").
+Covered surface (everything the reference ``model/`` package and the
+importable ``compared_model/`` zoo members touch): ``PatchEmbed``,
+``DropPath``, ``trunc_normal_``, ``get_act_layer``, ``get_norm_layer``,
+``Convolution`` (conv_only subset incl. transposed + groups),
+``UpSample`` (NONTRAINABLE), ``Act``/``Norm``/``InterpolateMode``/
+``UpsampleMode`` constants, ``optional_import``; plus timm
+``trunc_normal_``/``DropPath`` and batchgenerators ``pad_nd_image``
+(import-time only) via :func:`install_timm_and_batchgenerators`.
 
 These are our own implementations of the documented behavior (no MONAI
 code), used only for parity tests against reference weights.
