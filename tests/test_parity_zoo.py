@@ -483,3 +483,62 @@ def test_superlightnet_forward_parity(monkeypatch):
         {"params": params}, jnp.asarray(x_np), train=False)
     np.testing.assert_allclose(np.asarray(out), ref_out,
                                atol=1e-3, rtol=1e-3)
+
+
+def _load_ref_vsmtrans(cfg):
+    from veloxseg_tpu.interop import monai_stub
+    monai_stub.install()
+    monai_stub.install_timm_and_batchgenerators()
+    if REF_ZOO not in sys.path:
+        sys.path.insert(0, REF_ZOO)
+    import importlib
+    mod = importlib.import_module("VSmTrans.VSmTrans")
+    model = mod.VSmixTUnet(**cfg)
+    # train mode: conv-branch BatchNorms use batch statistics (= our
+    # BatchNormNoTrack); every dropout/droppath rate defaults to 0.
+    model.train()
+    return model
+
+
+def test_vsmtrans_forward_parity():
+    import json
+    from veloxseg_tpu.models.zoo.vsmtrans import VSmixTUnet
+
+    cfg = json.load(open(os.path.join(
+        DEFAULT_REFERENCE, "config", "models_config_autopetii.json")))[
+        "VSmTrans"]
+    cfg = dict(cfg)
+    cfg["img_size"] = [64, 64, 64]
+    # the reference defaults drop/attn_drop/drop_path to 0.1 — zero them
+    # so train mode (needed for BatchNorm parity) stays deterministic
+    cfg.update(drop_rate=0.0, attn_drop_rate=0.0, drop_path_rate=0.0)
+    torch.manual_seed(0)
+    ref = _load_ref_vsmtrans(cfg)
+
+    flax_model = VSmixTUnet(
+        out_channels=cfg["out_channels"],
+        img_size=tuple(cfg["img_size"]),
+        feature_size=cfg["feature_size"],
+        split_size=tuple(cfg["split_size"]),
+        window=cfg["window_size"],
+        depths=tuple(cfg["depths"]),
+        num_heads=tuple(cfg["num_heads"]),
+        patch=cfg["patch_size"][0],
+        do_ds=True, drop=0.0, attn_drop=0.0, drop_path_rate=0.0)
+    in_ch = cfg["in_channels"]
+    x_np = np.random.default_rng(9).standard_normal(
+        (1, 64, 64, 64, in_ch)).astype(np.float32)
+    template = jax.jit(flax_model.init, static_argnames="train")(
+        {"params": jax.random.PRNGKey(0),
+         "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(x_np), train=False)["params"]
+    params = convert_zoo_state_dict("VSmTrans", ref.state_dict(), template)
+
+    with torch.no_grad():
+        ref_outs = ref(torch.from_numpy(np.transpose(x_np, (0, 4, 1, 2, 3))))
+    ref_out = np.transpose(ref_outs[0].numpy(), (0, 2, 3, 4, 1))
+
+    out = jax.jit(flax_model.apply, static_argnames="train")(
+        {"params": params}, jnp.asarray(x_np), train=False)
+    np.testing.assert_allclose(np.asarray(out), ref_out,
+                               atol=1e-3, rtol=1e-3)

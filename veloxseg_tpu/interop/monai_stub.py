@@ -154,8 +154,118 @@ def _build_modules():
         except ImportError:
             return None, False
 
+    def _get_conv_layer(spatial_dims=3, in_channels=1, out_channels=1,
+                        kernel_size=3, stride=1, act="prelu",
+                        norm="instance", dropout=None, bias=False,
+                        conv_only=True, is_transposed=False):
+        """monai dynunet get_conv_layer: same-padding from (k, s); adds
+        output_padding for transposed convs."""
+        import numpy as _np
+        k = _np.atleast_1d(kernel_size)
+        s = _np.atleast_1d(stride)
+        pad = tuple(int(p) for p in (k - s + 1) / 2)
+        if len(pad) == 1:
+            pad = pad * spatial_dims
+        out_pad = None
+        if is_transposed:
+            out_pad = tuple(2 * p + st - kk for p, st, kk in
+                            zip(pad, _np.broadcast_to(s, (spatial_dims,)),
+                                _np.broadcast_to(k, (spatial_dims,))))
+        return Convolution(spatial_dims, in_channels, out_channels,
+                           strides=stride, kernel_size=kernel_size,
+                           bias=bias, conv_only=conv_only,
+                           is_transposed=is_transposed, padding=pad,
+                           output_padding=out_pad)
+
+    class UnetBasicBlock(nn.Module):
+        """monai dynunet UnetBasicBlock: 2× (conv → norm → lrelu)."""
+
+        def __init__(self, spatial_dims, in_channels, out_channels,
+                     kernel_size=3, stride=1, norm_name="instance",
+                     act_name=("leakyrelu", {"inplace": True,
+                                             "negative_slope": 0.01}),
+                     dropout=None):
+            super().__init__()
+            self.conv1 = _get_conv_layer(spatial_dims, in_channels,
+                                         out_channels, kernel_size, stride)
+            self.conv2 = _get_conv_layer(spatial_dims, out_channels,
+                                         out_channels, kernel_size, 1)
+            self.lrelu = get_act_layer(act_name)
+            self.norm1 = get_norm_layer(norm_name, spatial_dims,
+                                        out_channels)
+            self.norm2 = get_norm_layer(norm_name, spatial_dims,
+                                        out_channels)
+
+        def forward(self, inp):
+            out = self.lrelu(self.norm1(self.conv1(inp)))
+            return self.lrelu(self.norm2(self.conv2(out)))
+
+    class UnetResBlock(nn.Module):
+        """monai dynunet UnetResBlock: basic block + 1×1 residual."""
+
+        def __init__(self, spatial_dims, in_channels, out_channels,
+                     kernel_size=3, stride=1, norm_name="instance",
+                     act_name=("leakyrelu", {"inplace": True,
+                                             "negative_slope": 0.01}),
+                     dropout=None):
+            super().__init__()
+            import numpy as _np
+            self.conv1 = _get_conv_layer(spatial_dims, in_channels,
+                                         out_channels, kernel_size, stride)
+            self.conv2 = _get_conv_layer(spatial_dims, out_channels,
+                                         out_channels, kernel_size, 1)
+            self.lrelu = get_act_layer(act_name)
+            self.norm1 = get_norm_layer(norm_name, spatial_dims,
+                                        out_channels)
+            self.norm2 = get_norm_layer(norm_name, spatial_dims,
+                                        out_channels)
+            self.downsample = in_channels != out_channels or \
+                _np.atleast_1d(stride).max() != 1
+            if self.downsample:
+                self.conv3 = _get_conv_layer(spatial_dims, in_channels,
+                                             out_channels, 1, stride)
+                self.norm3 = get_norm_layer(norm_name, spatial_dims,
+                                            out_channels)
+
+        def forward(self, inp):
+            residual = inp
+            out = self.lrelu(self.norm1(self.conv1(inp)))
+            out = self.norm2(self.conv2(out))
+            if self.downsample:
+                residual = self.norm3(self.conv3(residual))
+            return self.lrelu(out + residual)
+
+    class UnetrBasicBlock(nn.Module):
+        """monai UnetrBasicBlock: wraps one (res) block as ``layer``."""
+
+        def __init__(self, spatial_dims, in_channels, out_channels,
+                     kernel_size=3, stride=1, norm_name="instance",
+                     res_block=True):
+            super().__init__()
+            cls = UnetResBlock if res_block else UnetBasicBlock
+            self.layer = cls(spatial_dims, in_channels, out_channels,
+                             kernel_size=kernel_size, stride=stride,
+                             norm_name=norm_name)
+
+        def forward(self, inp):
+            return self.layer(inp)
+
+    class UnetOutBlock(nn.Module):
+        def __init__(self, spatial_dims, in_channels, out_channels,
+                     dropout=None):
+            super().__init__()
+            self.conv = _get_conv_layer(spatial_dims, in_channels,
+                                        out_channels, kernel_size=1,
+                                        stride=1, bias=True,
+                                        conv_only=True)
+
+        def forward(self, inp):
+            return self.conv(inp)
+
     return (PatchEmbed, DropPath, trunc_normal_, get_act_layer,
-            get_norm_layer, Convolution, UpSample, optional_import)
+            get_norm_layer, Convolution, UpSample, optional_import,
+            _get_conv_layer, UnetBasicBlock, UnetResBlock,
+            UnetrBasicBlock, UnetOutBlock)
 
 
 def install() -> None:
@@ -169,7 +279,9 @@ def install() -> None:
         return
 
     (PatchEmbed, DropPath, trunc_normal_, get_act_layer, get_norm_layer,
-     Convolution, UpSample, optional_import) = _build_modules()
+     Convolution, UpSample, optional_import, get_conv_layer,
+     UnetBasicBlock, UnetResBlock, UnetrBasicBlock,
+     UnetOutBlock) = _build_modules()
 
     monai = types.ModuleType("monai")
     networks = types.ModuleType("monai.networks")
@@ -190,6 +302,16 @@ def install() -> None:
     blocks.convolutions = convolutions
     blocks.upsample = upsample_mod
     blocks.UpSample = UpSample
+    dynunet = types.ModuleType("monai.networks.blocks.dynunet_block")
+    dynunet.get_conv_layer = get_conv_layer
+    dynunet.UnetBasicBlock = UnetBasicBlock
+    dynunet.UnetResBlock = UnetResBlock
+    dynunet.UnetOutBlock = UnetOutBlock
+    blocks.dynunet_block = dynunet
+    blocks.UnetOutBlock = UnetOutBlock
+    blocks.UnetrBasicBlock = UnetrBasicBlock
+    blocks.UnetBasicBlock = UnetBasicBlock
+    blocks.UnetResBlock = UnetResBlock
     factories.Act = types.SimpleNamespace(PRELU="prelu")
     factories.Norm = types.SimpleNamespace(INSTANCE="instance",
                                            BATCH="batch")
@@ -209,6 +331,7 @@ def install() -> None:
     sys.modules["monai.networks.blocks"] = blocks
     sys.modules["monai.networks.blocks.convolutions"] = convolutions
     sys.modules["monai.networks.blocks.upsample"] = upsample_mod
+    sys.modules["monai.networks.blocks.dynunet_block"] = dynunet
     sys.modules["monai.networks.layers"] = layers
     sys.modules["monai.networks.layers.factories"] = factories
     sys.modules["monai.networks.layers.utils"] = layer_utils

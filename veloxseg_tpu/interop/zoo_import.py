@@ -921,6 +921,109 @@ def _map_superlightnet_key(key: str
     raise KeyError(f"unmapped SuperLightNet key: {key}")
 
 
+# ---------------------------------------------------------------------------
+# VSmTrans (compared_model/VSmTrans/VSmTrans.py, ``VSmixTUnet``). All
+# dropout rates default 0; BatchNorm in the conv branch → torch train-mode
+# parity. ``out_4`` is registered but unused in forward — skipped.
+# ---------------------------------------------------------------------------
+
+def _map_vsm_block(prefix: Tuple[str, ...], rest: str
+                   ) -> Optional[Tuple[Tuple[str, ...], Any]]:
+    if rest.endswith("num_batches_tracked") or ".running_" in rest or \
+            rest.endswith("relative_position_index"):
+        return None
+    ln = lambda p: "scale" if p == "weight" else "bias"  # noqa: E731
+    m = re.fullmatch(r"(norm[12])\.(weight|bias)", rest)
+    if m:
+        return prefix + (m.group(1), ln(m.group(2))), _identity
+    m = re.fullmatch(r"mlp\.fc([12])\.(weight|bias)", rest)
+    if m:
+        p = m.group(2)
+        return prefix + (f"fc{m.group(1)}",
+                         "kernel" if p == "weight" else "bias"), \
+            _dense_w if p == "weight" else _identity
+    m = re.fullmatch(r"attn\.(.+)", rest)
+    if m:
+        inner = m.group(1)
+        a = prefix + ("attn",)
+        m2 = re.fullmatch(r"(qkv|conv1|proj)\.(weight|bias)", inner)
+        if m2:
+            p = m2.group(2)
+            return a + (m2.group(1),
+                        "kernel" if p == "weight" else "bias"), \
+                _dense_w if p == "weight" else _identity
+        m2 = re.fullmatch(r"norm1\.(weight|bias)", inner)
+        if m2:
+            return a + ("conv_norm1", ln(m2.group(1))), _identity
+        m2 = re.fullmatch(r"norm2\.(weight|bias)", inner)
+        if m2:  # BatchNorm3d
+            return a + ("conv_norm2", ln(m2.group(1))), _identity
+        m2 = re.fullmatch(r"dep_conv\.(weight|bias)", inner)
+        if m2:
+            p = m2.group(1)
+            return a + ("dep_conv",
+                        "kernel" if p == "weight" else "bias"), \
+                _conv3d_w if p == "weight" else _identity
+        m2 = re.fullmatch(
+            r"attns\.(\d)\.relative_position_bias_table", inner)
+        if m2:
+            return a + (f"attn{m2.group(1)}", "rpb", "table"), _identity
+        if inner in ("rate1", "rate2"):
+            return a + (inner,), _identity
+    raise KeyError(f"unmapped VSmTrans block key: {rest}")
+
+
+def _map_vsmtrans_key(key: str) -> Optional[Tuple[Tuple[str, ...], Any]]:
+    ln = lambda p: "scale" if p == "weight" else "bias"  # noqa: E731
+    m = re.fullmatch(r"VSmViT\.patch_embed\.(proj|norm)\.(weight|bias)",
+                     key)
+    if m:
+        p = m.group(2)
+        if m.group(1) == "proj":
+            return ("patch_embed",
+                    "kernel" if p == "weight" else "bias"), \
+                _conv3d_w if p == "weight" else _identity
+        return ("patch_norm", ln(p)), _identity
+    m = re.fullmatch(r"VSmViT\.layers(\d)\.0\.blocks\.(\d+)\.(.+)", key)
+    if m:
+        return _map_vsm_block(
+            (f"stage{int(m.group(1)) - 1}_block{m.group(2)}",), m.group(3))
+    m = re.fullmatch(r"VSmViT\.layers(\d)\.1\.(norm|reduction)\."
+                     r"(weight|bias)", key)
+    if m:
+        mg = f"merge{int(m.group(1)) - 1}"
+        p = m.group(3)
+        if m.group(2) == "norm":
+            return (mg, "norm", ln(p)), _identity
+        return (mg, "reduction", "kernel"), _dense_w
+    m = re.fullmatch(r"encoder(\d)\.layer\.conv([123])\.conv\.weight", key)
+    if m:
+        return (f"encoder{m.group(1)}", f"conv{m.group(2)}", "kernel"), \
+            _conv3d_w
+    m = re.fullmatch(r"decoder(\d)\.transp_conv\.conv\.weight", key)
+    if m:
+        return (f"decoder{m.group(1)}_deconv", "kernel"), _convT_dhwio
+    m = re.fullmatch(r"decoder(\d)\.conv_block\.conv([123])\.conv\.weight",
+                     key)
+    if m:
+        return (f"decoder{m.group(1)}_conv", f"conv{m.group(2)}",
+                "kernel"), _conv3d_w
+    m = re.fullmatch(r"out\.conv\.conv\.(weight|bias)", key)
+    if m:
+        p = m.group(1)
+        return ("out", "kernel" if p == "weight" else "bias"), \
+            _conv1x1_w if p == "weight" else _identity
+    m = re.fullmatch(r"out_([0-3])\.(weight|bias)", key)
+    if m:
+        p = m.group(2)
+        return (f"out_{m.group(1)}",
+                "kernel" if p == "weight" else "bias"), \
+            _conv1x1_w if p == "weight" else _identity
+    if re.fullmatch(r"out_4\.(weight|bias)", key):
+        return None  # defined but unused in the reference forward
+    raise KeyError(f"unmapped VSmTrans key: {key}")
+
+
 _CONVERTERS = {"MedNeXt": _map_mednext_key,
                "SlimUNETR": _make_slim_mapper(),
                "SegFormer": _map_segformer_key,
@@ -928,7 +1031,8 @@ _CONVERTERS = {"MedNeXt": _map_mednext_key,
                "NestedFormer": _map_nestedformer_key,
                "UNETRpp": _map_unetrpp_key,
                "A2FSeg": _map_a2fseg_key,
-               "SuperLightNet": _map_superlightnet_key}
+               "SuperLightNet": _map_superlightnet_key,
+               "VSmTrans": _map_vsmtrans_key}
 
 
 def convert_zoo_state_dict(model_name: str, state_dict: Dict[str, Any],

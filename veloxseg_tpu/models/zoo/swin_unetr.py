@@ -160,13 +160,15 @@ class ResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # monai get_conv_layer defaults bias=False (dynunet_block)
         res = x
-        y = Conv3d(self.features, 3, name="conv1")(x)
+        y = Conv3d(self.features, 3, use_bias=False, name="conv1")(x)
         y = nn.leaky_relu(InstanceNorm()(y), 0.01)
-        y = Conv3d(self.features, 3, name="conv2")(y)
+        y = Conv3d(self.features, 3, use_bias=False, name="conv2")(y)
         y = InstanceNorm()(y)
         if res.shape[-1] != self.features:
-            res = Conv3d(self.features, 1, padding=0, name="conv3")(res)
+            res = Conv3d(self.features, 1, padding=0, use_bias=False,
+                         name="conv3")(res)
             res = InstanceNorm()(res)
         return nn.leaky_relu(y + res, 0.01)
 

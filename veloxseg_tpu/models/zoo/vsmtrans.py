@@ -108,11 +108,17 @@ class VariableShapeAttention(nn.Module):
         hd = c // heads
         l = win[0] * win[1] * win[2]
         nw = (pd // win[0]) * (ph // win[1]) * (pw // win[2])
+        # reference window_partition interleaves heads: the per-head
+        # channel factor is (hd, heads) with HEAD FASTEST
+        # (VSmTrans.py:33 ``reshape(..., C // num_heads, num_heads)``)
         y = qkv.reshape(b, pd // win[0], win[0], ph // win[1], win[1],
-                        pw // win[2], win[2], 3, heads, hd)
-        y = y.transpose(7, 0, 1, 3, 5, 8, 2, 4, 6, 9)
+                        pw // win[2], win[2], 3, hd, heads)
+        y = y.transpose(7, 0, 1, 3, 5, 9, 2, 4, 6, 8)
         y = y.reshape(3, b * nw, heads, l, hd)
-        q, k, v = y[0] * (hd ** -0.5), y[1], y[2]
+        # reference quirk (VSmTrans.py:186): the softmax scale uses
+        # head_dim = 4*feature // num_head — 4x the true per-head width
+        scale = (4 * self.feature // self.num_head) ** -0.5
+        q, k, v = y[0] * scale, y[1], y[2]
 
         s = jnp.einsum("bhnc,bhmc->bhnm", q, k,
                        preferred_element_type=jnp.float32)
@@ -128,7 +134,8 @@ class VariableShapeAttention(nn.Module):
         o = jnp.einsum("bhnm,bhmc->bhnc", a.astype(v.dtype), v)
         o = o.reshape(b, pd // win[0], ph // win[1], pw // win[2],
                       heads, win[0], win[1], win[2], hd)
-        o = o.transpose(0, 1, 5, 2, 6, 3, 7, 4, 8)
+        # merge back with the same head-fastest channel interleave
+        o = o.transpose(0, 1, 5, 2, 6, 3, 7, 8, 4)
         o = o.reshape(b, pd, ph, pw, c)
         if any(shift):
             o = jnp.roll(o, shift, axis=(1, 2, 3))
@@ -195,9 +202,9 @@ class VSmixedBlock(nn.Module):
         y = VSmixMSA(self.feature, self.split, self.window, self.num_head,
                      self.img_size, self.shift, attn_drop=self.attn_drop,
                      drop=self.drop, name="attn")(
-                         LayerNorm(name="norm1")(x), deterministic)
+                         LayerNorm(eps=1e-5, name="norm1")(x), deterministic)
         x = x + dp(y, deterministic)
-        z = LayerNorm(name="norm2")(x)
+        z = LayerNorm(eps=1e-5, name="norm2")(x)
         z = nn.Dense(int(self.feature * self.mlp_ratio),
                      kernel_init=he_normal, name="fc1")(z)
         z = nn.gelu(z, approximate=False)
@@ -220,7 +227,7 @@ class VSPatchMerging(nn.Module):
                 (1, 0, 1), (0, 1, 0), (0, 0, 1), (1, 1, 1)]
         parts = [x[:, i::2, j::2, k::2, :] for i, j, k in offs]
         y = jnp.concatenate(parts, axis=-1)
-        y = LayerNorm(name="norm")(y)
+        y = LayerNorm(eps=1e-5, name="norm")(y)
         return nn.Dense(2 * c, use_bias=False, kernel_init=he_normal,
                         name="reduction")(y)
 
@@ -267,7 +274,7 @@ class VSmixTUnet(nn.Module):
 
         h = Conv3d(f, self.patch, stride=self.patch, padding=0,
                    name="patch_embed")(x)
-        h = LayerNorm(name="patch_norm")(h)
+        h = LayerNorm(eps=1e-5, name="patch_norm")(h)
         h = nn.Dropout(self.drop)(h, deterministic=det)
 
         hiddens = []
@@ -292,7 +299,8 @@ class VSmixTUnet(nn.Module):
         enc4 = ResBlock(8 * f, name="encoder5")(hs3)
 
         def up(xin, skip, ch, name, k=2):
-            y = ConvTranspose3d(ch, k, k, name=f"{name}_deconv")(xin)
+            y = ConvTranspose3d(ch, k, k, use_bias=False,
+                                name=f"{name}_deconv")(xin)
             return ResBlock(ch, name=f"{name}_conv")(
                 jnp.concatenate([y, skip], axis=-1))
 
