@@ -76,7 +76,17 @@ def bench_forward(batch=16, size=(96, 96, 96), channels=2):
     return batch * iters / dt
 
 
-def bench_train(batch=16, size=(128, 128, 128), channels=2):
+def bench_train(batch=32, size=(128, 128, 128), channels=2, windows=1):
+    """Train-step throughput (fwd+bwd+opt, full composite loss).
+
+    ``windows`` > 1 → run that many back-to-back timed windows and return
+    the median (the tunneled chip shows real minute-scale throughput
+    variance — BENCH_r02 vs the builder's own logs; median-of-N in one
+    process is the stable protocol). Batch 32 ≈ the fixed per-step
+    dispatch overhead amortized: step time is nearly flat in batch on
+    this host (PERF_NOTES round 3), so 32 roughly doubles patches/s over
+    16; 48+ fails to compile (HBM).
+    """
     import numpy as np
     from veloxseg_tpu.train.loss import CompositeLoss
     from veloxseg_tpu.train.optim import build_optimizer
@@ -105,18 +115,22 @@ def bench_train(batch=16, size=(128, 128, 128), channels=2):
     while time.perf_counter() - t0 < WARMUP_S:
         state, aux = step(state, x, y, key)
         jax.block_until_ready(aux["loss"])
-    iters = 0
-    t0 = time.perf_counter()
-    while True:
-        state, aux = step(state, x, y, key)
-        iters += 1
-        if iters % 10 == 0:
-            jax.block_until_ready(aux["loss"])
-            if time.perf_counter() - t0 >= TIMED_S:
-                break
-    jax.block_until_ready(aux["loss"])
-    dt = time.perf_counter() - t0
-    return batch * iters / dt
+    results = []
+    for _ in range(windows):
+        iters = 0
+        t0 = time.perf_counter()
+        while True:
+            state, aux = step(state, x, y, key)
+            iters += 1
+            if iters % 10 == 0:
+                jax.block_until_ready(aux["loss"])
+                if time.perf_counter() - t0 >= TIMED_S:
+                    break
+        jax.block_until_ready(aux["loss"])
+        dt = time.perf_counter() - t0
+        results.append(batch * iters / dt)
+    results.sort()
+    return results[len(results) // 2]
 
 
 def bench_sliding_window(size=(192, 192, 192), roi=(96, 96, 96),
@@ -170,6 +184,17 @@ def main():
                                  3),
         }))
         return
+    # Headline FIRST (median of 3 timed windows) — round 2 ran it last
+    # and recorded a number depressed by same-process predecessor benches
+    # / chip-state drift (BENCH_r02 7,334 vs the builder's 9,516 log).
+    train_batch = 32
+    try:
+        train = bench_train(batch=train_batch, windows=3)
+    except Exception:
+        train_batch = 16
+        train = bench_train(batch=train_batch, windows=3)
+    print(f"headline: 128^3 train fwd+bwd bs{train_batch} = "
+          f"{train:.2f} patches/s (median of 3)", file=sys.stderr)
     fwd = bench_forward()
     print(f"secondary: 96^3 eval fwd (reference protocol) = "
           f"{fwd:.2f} patches/s = "
@@ -178,12 +203,12 @@ def main():
     sw = bench_sliding_window()
     print(f"secondary: sliding-window whole-volume (192^3, 96^3 ROI, "
           f"overlap .25) = {sw:.2f} volumes/s", file=sys.stderr)
-    train = bench_train()
     print(json.dumps({
         "metric": "veloxseg_128cube_train_fwd_bwd_patches_per_s",
         "value": round(train, 2),
         "unit": "patches/s",
         "vs_baseline": round(train / BASELINE_GPU_PATCHES_PER_S, 3),
+        "train_batch": train_batch,
         "sliding_window_volumes_per_s": round(sw, 3),
         "eval_96cube_fwd_patches_per_s": round(fwd, 2),
     }))

@@ -63,7 +63,7 @@ def test_pallas_bf16_io():
 from veloxseg_tpu.ops.pwa_attention import (_train_xla,  # noqa: E402
                                             window_attention_train)
 
-SEED = jnp.asarray([[1234]], jnp.int32)
+SEED = jnp.asarray([[1234, 0]], jnp.int32)
 
 
 def test_train_path_p0_matches_xla_fwd_and_grads():
@@ -102,7 +102,7 @@ def test_train_path_dropout_deterministic_given_seed():
     o2 = window_attention_train(q, k, v, bias, SEED, 0.5, 0.3, True)
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
     o3 = window_attention_train(q, k, v, bias,
-                                jnp.asarray([[999]], jnp.int32),
+                                jnp.asarray([[999, 0]], jnp.int32),
                                 0.5, 0.3, True)
     assert not np.allclose(np.asarray(o1), np.asarray(o3))
 
@@ -145,3 +145,72 @@ def test_train_path_dropout_mean_preserving():
     # With v == 1 each output element is the sum of that row's kept,
     # rescaled softmax weights: mean over many windows must stay ~1.
     assert abs(float(jnp.mean(out1)) - 1.0) < 0.1
+
+
+# ---------------------------------------------------------------------------
+# Row-blocked (flash-style) kernels — the large-L path (bench config's
+# L=1024 stage) — and the global-batch-offset property shard_map relies on.
+# ---------------------------------------------------------------------------
+
+from veloxseg_tpu.ops.pwa_attention import (_full_train_fits,  # noqa: E402
+                                            _rowblock_size)
+
+
+def test_rowblock_selected_for_large_l():
+    assert _full_train_fits(432)          # dataset configs stay full-window
+    assert not _full_train_fits(1024)     # bench config stage falls to rb
+    assert _rowblock_size(1024) > 0
+    assert 1024 % _rowblock_size(1024) == 0
+
+
+def test_rowblocked_train_matches_xla_oracle_exactly():
+    # L=1024 routes to the row-blocked kernels (bn=1 -> no padding ->
+    # bit-identical counter-based dropout vs the XLA oracle).
+    q, k, v, bias = _inputs(b=1, h=1, n=2, l=1024, c_qk=8, c_v=8, seed=7)
+    scale = 1.0 / np.sqrt(8)
+    fused = window_attention_train(q, k, v, bias, SEED, scale, 0.3, True)
+    oracle = _train_xla(q, k, v, bias, SEED, scale, 0.3)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(oracle),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_rowblocked_train_grads_match_xla_oracle():
+    # The XLA oracle is plain differentiable jnp code with the identical
+    # mask -> its autodiff grads are the reference for the custom VJP
+    # (dq/dk/dv and the row-slice-accumulated dbias).
+    q, k, v, bias = _inputs(b=1, h=2, n=2, l=1024, c_qk=8, c_v=8, seed=8)
+    scale = 0.25
+
+    def fused(q, k, v, bias):
+        return jnp.sum(jnp.sin(window_attention_train(
+            q, k, v, bias, SEED, scale, 0.2, True)))
+
+    def oracle(q, k, v, bias):
+        return jnp.sum(jnp.sin(_train_xla(q, k, v, bias, SEED, scale, 0.2)))
+
+    gf = jax.grad(fused, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    gr = jax.grad(oracle, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4)
+
+
+def test_batch_offset_equals_slice_of_full_batch():
+    # The property the SPMD shard_map wrapper relies on: running a batch
+    # slice with seed[0,1] = global offset reproduces the full-batch run's
+    # slice exactly (kernel path and oracle path).
+    q, k, v, bias = _inputs(b=4, h=1, n=2, l=27, c_qk=4, c_v=4, seed=9)
+    full = _train_xla(q, k, v, bias, SEED, 0.5, 0.3)
+    for lo in (0, 2):
+        seed_off = jnp.asarray([[1234, lo]], jnp.int32)
+        part_oracle = _train_xla(q[lo:lo + 2], k[lo:lo + 2], v[lo:lo + 2],
+                                 bias, seed_off, 0.5, 0.3)
+        np.testing.assert_allclose(np.asarray(part_oracle),
+                                   np.asarray(full[lo:lo + 2]),
+                                   atol=1e-6, rtol=1e-6)
+        part_kernel = window_attention_train(
+            q[lo:lo + 2], k[lo:lo + 2], v[lo:lo + 2], bias, seed_off,
+            0.5, 0.3, True)
+        np.testing.assert_allclose(np.asarray(part_kernel),
+                                   np.asarray(full[lo:lo + 2]),
+                                   atol=1e-5, rtol=1e-5)

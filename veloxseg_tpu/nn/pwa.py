@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.windows import WindowLayout, compute_window_layout
+from ..ops import pwa_attention
 from ..ops.pwa_attention import (train_fused_enabled, window_attention,
                                  window_attention_train)
 from ..ops.resize import interp_matrix
@@ -236,18 +237,57 @@ class MultiModalPWA(nn.Module):
             name="pos_bias")()
         bias = jnp.tile(bias, (1, m_count, m_count))
 
+        mesh = pwa_attention.spmd_mesh()
+        if mesh is not None and q.shape[0] % mesh.shape["data"] != 0:
+            mesh = None  # uneven batch: stay on the GSPMD-partitionable path
         if deterministic:
             # Fused Pallas attention (score→bias→softmax→·V in VMEM, no
-            # HBM score/weight tensors); einsum fallback off-TPU.
-            attn = window_attention(q, k, v, bias, scale)
+            # HBM score/weight tensors); einsum fallback off-TPU. Under a
+            # mesh, shard_map over the batch axis (windows are
+            # embarrassingly parallel) — GSPMD can't split the custom call.
+            if mesh is not None and pwa_attention.eval_fits_vmem(
+                    q.shape[-2]):
+                from jax.sharding import PartitionSpec as P
+                attn = jax.shard_map(
+                    functools.partial(window_attention, scale=scale),
+                    mesh=mesh,
+                    in_specs=(P("data"), P("data"), P("data"), P()),
+                    out_specs=P("data"), check_vma=False,
+                )(q, k, v, bias)
+            else:
+                attn = window_attention(q, k, v, bias, scale)
         elif train_fused_enabled(m_count * layout.tokens_per_window):
             # Fused train kernel: in-kernel counter-based weight dropout +
             # custom VJP (backward recomputes softmax — no saved weights).
             seed = jax.random.randint(
                 self.make_rng("dropout"), (1, 1), 0, 2**31 - 1,
                 dtype=jnp.int32)
-            attn = window_attention_train(
-                q, k, v, bias, seed, scale, float(self.attn_drop))
+            interp = pwa_attention.force_interpret()
+            drop = float(self.attn_drop)
+            if mesh is None:
+                seed_info = jnp.concatenate(
+                    [seed, jnp.zeros((1, 1), jnp.int32)], axis=1)
+                attn = window_attention_train(
+                    q, k, v, bias, seed_info, scale, drop, interp)
+            else:
+                from jax.sharding import PartitionSpec as P
+                b_local = q.shape[0] // mesh.shape["data"]
+
+                def _body(q, k, v, bias, seed):
+                    # global batch offset → dropout mask bit-identical to
+                    # the unsharded run (see window_attention_train docs)
+                    off = (jax.lax.axis_index("data").astype(jnp.int32)
+                           * b_local)
+                    seed_info = jnp.concatenate(
+                        [seed, off[None, None]], axis=1)
+                    return window_attention_train(
+                        q, k, v, bias, seed_info, scale, drop, interp)
+
+                attn = jax.shard_map(
+                    _body, mesh=mesh,
+                    in_specs=(P("data"), P("data"), P("data"), P(), P()),
+                    out_specs=P("data"), check_vma=False,
+                )(q, k, v, bias, seed)
         else:
             scores = jnp.einsum(
                 "bhnlc,bhnmc->bhnlm", q, k,

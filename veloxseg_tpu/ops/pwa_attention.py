@@ -21,8 +21,9 @@ weight tensor is needed for the dropout mask).
 
 from __future__ import annotations
 
+import contextlib
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -136,10 +137,31 @@ def eval_fits_vmem(l: int) -> bool:
     return 2 * sub * lane * 4 <= _VMEM_BUDGET
 
 
-def train_fits_vmem(l: int) -> bool:
-    """Can the backward kernel (≈6 live L×L fp32 buffers) fit VMEM?"""
+def _full_train_fits(l: int) -> bool:
+    """Can the full-window backward (≈6 live L×L fp32 buffers) fit VMEM?"""
     sub, lane = _padded(l)
     return 6 * sub * lane * 4 <= _VMEM_BUDGET
+
+
+def _rowblock_size(l: int) -> int:
+    """Row-block size for the flash-style kernels (0 → row blocking not
+    feasible). Budget: the (L, L) fp32 bias AND dbias blocks are both
+    VMEM-resident in the backward, plus ~6 live (Br, L) fp32 row buffers,
+    all within scoped VMEM with headroom for the (small) token blocks."""
+    sub, lane = _padded(l)
+    # 13 MB minus bias+dbias blocks minus ~2 MB of (padded) token-block
+    # double buffering; ~8 live fp32 row buffers at the peak.
+    budget = (13 << 20) - 2 * sub * lane * 4 - (2 << 20)
+    for br in (512, 256, 128, 64, 32, 16, 8):
+        if l % br == 0 and br < l and 8 * br * lane * 4 <= budget:
+            return br
+    return 0
+
+
+def train_fits_vmem(l: int) -> bool:
+    """Can SOME fused train kernel run at this L? Either the full-window
+    kernel fits, or the flash-style row-blocked variant does."""
+    return _full_train_fits(l) or _rowblock_size(l) > 0
 
 
 def window_attention(q, k, v, bias, scale: float) -> jnp.ndarray:
@@ -147,23 +169,58 @@ def window_attention(q, k, v, bias, scale: float) -> jnp.ndarray:
     callers that need weight dropout use :func:`window_attention_train`
     or the XLA path in nn/pwa.py."""
     platform = jax.default_backend()
-    if platform == "tpu" and eval_fits_vmem(q.shape[-2]):
+    on_tpu = platform == "tpu"
+    if (on_tpu or _FORCE_INTERPRET) and eval_fits_vmem(q.shape[-2]):
         try:
-            return window_attention_pallas(q, k, v, bias, scale)
-        except Exception:
+            return window_attention_pallas(q, k, v, bias, scale,
+                                           interpret=not on_tpu)
+        except Exception as e:  # pragma: no cover - depends on backend
+            _warn_fallback(e)
             return window_attention_xla(q, k, v, bias, scale)
     return window_attention_xla(q, k, v, bias, scale)
+
+
+_WARNED_FALLBACK = False
+
+
+def _warn_fallback(exc: Exception) -> None:
+    """Log (once) when the Pallas kernel fails and we silently degrade to
+    the XLA einsum path — a kernel regression must not be invisible."""
+    global _WARNED_FALLBACK
+    if not _WARNED_FALLBACK:
+        _WARNED_FALLBACK = True
+        import logging
+        logging.getLogger(__name__).warning(
+            "pwa_attention: Pallas kernel failed (%s: %s); falling back to "
+            "the XLA attention path for this process.",
+            type(exc).__name__, exc)
 
 
 # ---------------------------------------------------------------------------
 # Train mode: fused attention with in-kernel weight dropout + custom VJP.
 #
 # Forward and backward are separate Pallas kernels sharing the dropout mask
-# by construction: both seed the per-core PRNG with (seed + flat grid
-# index) and draw bits in the same order, so the mask regenerates exactly
-# (the CUDA-flash-attention recompute trick, PRNG edition). The backward
-# recomputes softmax from q/k/bias (nothing but the inputs is saved) and
-# emits dq/dk/dv plus dbias accumulated across the window grid.
+# by construction: the mask is a pure counter-based hash of the GLOBAL
+# (window, row, col) coordinates plus a per-step seed, so it regenerates
+# identically in the forward, the backward, the row-blocked variants and
+# the XLA fallback — and, because the global batch offset is an explicit
+# input, also identically on every shard of an SPMD (shard_map) run.
+#
+# Two kernel families share that mask:
+#  * full-window kernels — a block of BN whole windows per grid step; the
+#    backward holds ~6 live (BN, L, L) fp32 buffers in VMEM. Used while
+#    that fits (L ≲ 700).
+#  * row-blocked (flash-style) kernels — grid gains an L/Br row-block
+#    axis; the backward streams (Br, L) score rows, accumulates dk/dv
+#    across row blocks in the revisited output block and dbias in a
+#    VMEM-resident (L, L) block. Exact softmax per row (a full score row
+#    is present), so no online-softmax bookkeeping is needed. This covers
+#    the 128³ bench config's L=1024 stage that round 2 had to leave on
+#    the XLA path (PERF_NOTES.md "Train-step ablation").
+#
+# The backward recomputes softmax from q/k/bias (nothing but the inputs is
+# saved) and emits dq/dk/dv (fp32, cast to primal dtype outside) plus
+# dbias accumulated across the grid.
 # ---------------------------------------------------------------------------
 
 
@@ -176,26 +233,16 @@ def _block_windows_train(l: int, budget_bytes: int = 4 << 20) -> int:
     return max(1, min(128, budget_bytes // per_window))
 
 
-def _dropout_keep(shape, p: float, seed, base):
+def _keep_mask(gid, p: float, seed):
     """Counter-based dropout mask: keep with prob (1−p).
 
-    A stateless integer hash of (global element id, seed) — NOT the
-    hardware PRNG. The hardware stream's bit→element mapping depends on
-    how each kernel's draw is vectorized, so a forward and a backward
-    kernel can disagree; a counter-based mask is identical across kernels,
-    platforms and the XLA fallback by construction (same trick as
-    Philox-offset dropout in CUDA flash-attention kernels).
-
-    ``shape`` = (bn, l, l); ``base`` = global index of this block's first
-    window (uint32 scalar); ``seed`` = uint32 scalar.
+    A stateless integer hash (lowbias32 avalanche) of the global element
+    id — NOT the hardware PRNG. The hardware stream's bit→element mapping
+    depends on how each kernel's draw is vectorized, so a forward and a
+    backward kernel can disagree; a counter-based mask is identical across
+    kernels, blockings, platforms and the XLA fallback by construction
+    (same trick as Philox-offset dropout in CUDA flash-attention kernels).
     """
-    w = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
-    i = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
-    j = jax.lax.broadcasted_iota(jnp.uint32, shape, 2)
-    l_rows = jnp.uint32(shape[-2])
-    l_cols = jnp.uint32(shape[-1])
-    gid = ((base + w) * l_rows + i) * l_cols + j
-    # xorshift-multiply avalanche (lowbias32)
     x = gid * jnp.uint32(0x9E3779B9) + seed * jnp.uint32(0x85EBCA6B)
     x = x ^ (x >> 16)
     x = x * jnp.uint32(0x7FEB352D)
@@ -206,20 +253,47 @@ def _dropout_keep(shape, p: float, seed, base):
     return x >= jnp.uint32(thresh)
 
 
-def _block_window_base(bn: int):
-    """Global index of the first window in this program's block."""
+def _dropout_keep(shape, p: float, seed, base, l_rows: int, l_cols: int,
+                  row_offset=0):
+    """Keep-mask for a (bn, rows, cols) score block.
+
+    ``base`` = global id (batch-major (b, h, n) order) of this block's
+    first window; ``row_offset`` = global row index of the block's first
+    row (row-blocked kernels); ``l_rows``/``l_cols`` = the full logical
+    score dims used to flatten (window, i, j) into a global counter.
+    """
+    w = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    i = jax.lax.broadcasted_iota(jnp.uint32, shape, 1) + jnp.uint32(row_offset)
+    j = jax.lax.broadcasted_iota(jnp.uint32, shape, 2)
+    gid = ((base + w) * jnp.uint32(l_rows) + i) * jnp.uint32(l_cols) + j
+    return _keep_mask(gid, p, seed)
+
+
+def _global_window_base(bn: int, batch_offset):
+    """Global id of this program's first window, (b, h, n) batch-major
+    order over GLOBAL batch indices (local index + ``batch_offset``)."""
     from jax.experimental import pallas as pl
-    hh = pl.program_id(0)
-    bb = pl.program_id(1)
-    nn = pl.program_id(2)
-    block = (hh * pl.num_programs(1) + bb) * pl.num_programs(2) + nn
-    return block.astype(jnp.uint32) * jnp.uint32(bn)
+    hh = pl.program_id(0).astype(jnp.uint32)
+    bb = pl.program_id(1).astype(jnp.uint32)
+    nn = pl.program_id(2).astype(jnp.uint32)
+    h_total = jnp.uint32(pl.num_programs(0))
+    n_total = jnp.uint32(pl.num_programs(2) * bn)
+    return (((batch_offset + bb) * h_total + hh) * n_total
+            + nn * jnp.uint32(bn))
+
+
+def _seed_and_offset(seed_ref):
+    return (seed_ref[0, 0].astype(jnp.uint32),
+            seed_ref[0, 1].astype(jnp.uint32))
 
 
 def _softmax_fp32(scores):
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+# -- full-window kernels ----------------------------------------------------
 
 
 def _train_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
@@ -232,9 +306,10 @@ def _train_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
         preferred_element_type=jnp.float32) * scale
     weights = _softmax_fp32(scores + bias_ref[0][None])
     if p > 0.0:
-        keep = _dropout_keep(weights.shape, p,
-                             seed_ref[0, 0].astype(jnp.uint32),
-                             _block_window_base(weights.shape[0]))
+        seed, off = _seed_and_offset(seed_ref)
+        bn, l, _ = weights.shape
+        keep = _dropout_keep(weights.shape, p, seed,
+                             _global_window_base(bn, off), l, l)
         weights = jnp.where(keep, weights * (1.0 / (1.0 - p)), 0.0)
     out = jax.lax.dot_general(
         weights, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -257,9 +332,10 @@ def _train_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
     prob = _softmax_fp32(scores + bias_ref[0][None])
     if p > 0.0:
         # identical mask to the forward by construction (counter-based)
-        keep = _dropout_keep(prob.shape, p,
-                             seed_ref[0, 0].astype(jnp.uint32),
-                             _block_window_base(prob.shape[0]))
+        seed, off = _seed_and_offset(seed_ref)
+        bn, l, _ = prob.shape
+        keep = _dropout_keep(prob.shape, p, seed,
+                             _global_window_base(bn, off), l, l)
         inv = 1.0 / (1.0 - p)
         weights = jnp.where(keep, prob * inv, 0.0)
     else:
@@ -304,6 +380,132 @@ def _train_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
         dbias_ref[0] = dbias_ref[0] + partial_db
 
 
+# -- row-blocked (flash-style) kernels for large L --------------------------
+
+
+def _train_fwd_rb_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
+                         scale: float, p: float, br: int, l: int):
+    """Grid (h, b, n): one whole window per step; the L/Br score-row
+    blocks are looped IN-kernel (the token tensors are tiny at the JL
+    channel widths — only score rows are VMEM-hungry, so streaming rows
+    keeps VMEM bounded while the grid stays coarse). Matmuls run in the
+    input dtype (bf16 on the MXU in production) with fp32 accumulation —
+    matching the XLA einsum path's precision; softmax/dropout arithmetic
+    is fp32. Softmax is exact per row (a full score row is present)."""
+    from jax.experimental import pallas as pl
+    k = k_ref[0, 0, 0]                          # (L, Cqk)
+    v = v_ref[0, 0, 0]                          # (L, Cv)
+    if p > 0.0:
+        seed, off = _seed_and_offset(seed_ref)
+        base = _global_window_base(1, off)
+
+    def body(rr, _):
+        row = pl.ds(rr * br, br)
+        qr = q_ref[0, 0, 0, row, :]             # (Br, Cqk)
+        scores = jax.lax.dot_general(
+            qr, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        weights = _softmax_fp32(scores + bias_ref[0, row, :])
+        if p > 0.0:
+            keep = _dropout_keep((1, br, l), p, seed, base, l, l,
+                                 row_offset=rr * br)[0]
+            weights = jnp.where(keep, weights * (1.0 / (1.0 - p)), 0.0)
+        out = jax.lax.dot_general(
+            weights.astype(v.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[0, 0, 0, row, :] = out.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, l // br, body, 0)
+
+
+def _train_bwd_rb_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
+                         dq_ref, dk_ref, dv_ref, dbias_ref, *,
+                         scale: float, p: float, br: int, l: int):
+    """Row-blocked backward, grid (h, b, n). Per window:
+
+    - loop L/Br row blocks: recompute (Br, L) score rows + softmax +
+      dropout mask, write dq rows, accumulate dk/dv in a (L, C) fp32
+      fori-loop carry, accumulate dbias rows into the per-head (L, L)
+      block (revisited consecutively across (b, n) — zeroed at its first
+      visit) with dynamic row-slice stores.
+    """
+    from jax.experimental import pallas as pl
+    k = k_ref[0, 0, 0]                          # (L, Cqk)
+    v = v_ref[0, 0, 0]                          # (L, Cv)
+    c_qk = k.shape[-1]
+    c_v = v.shape[-1]
+    in_dtype = k.dtype
+    if p > 0.0:
+        seed, off = _seed_and_offset(seed_ref)
+        base = _global_window_base(1, off)
+        inv = 1.0 / (1.0 - p)
+
+    first = jnp.logical_and(pl.program_id(1) == 0, pl.program_id(2) == 0)
+
+    @pl.when(first)
+    def _():
+        dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
+
+    def body(rr, carry):
+        dk_acc, dv_acc = carry
+        row = pl.ds(rr * br, br)
+        qr = q_ref[0, 0, 0, row, :]             # (Br, Cqk)
+        dor = do_ref[0, 0, 0, row, :]           # (Br, Cv)
+        scores = jax.lax.dot_general(
+            qr, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        prob = _softmax_fp32(scores + bias_ref[0, row, :])
+        if p > 0.0:
+            # mask recomputed (not held live) wherever needed — the hash
+            # is VPU-cheap and each (Br, L) fp32 buffer is VMEM-expensive
+            keep = _dropout_keep((1, br, l), p, seed, base, l, l,
+                                 row_offset=rr * br)[0]
+            weights = jnp.where(keep, prob * inv, 0.0)
+        else:
+            weights = prob
+        # dV[m,c] += Σ_l W[l,m]·dO[l,c]   (weights cast like the XLA path)
+        dv_p = jax.lax.dot_general(
+            weights.astype(in_dtype), dor,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        del weights
+        # dW[l,m] = Σ_c dO[l,c]·V[m,c]
+        dw = jax.lax.dot_general(
+            dor, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if p > 0.0:
+            keep2 = _dropout_keep((1, br, l), p, seed, base, l, l,
+                                  row_offset=rr * br)[0]
+            dprob = jnp.where(keep2, dw * inv, 0.0)
+        else:
+            dprob = dw
+        # softmax VJP: dS = P ⊙ (dP − Σ_m P·dP)
+        t = prob * dprob
+        ds = t - prob * jnp.sum(t, axis=-1, keepdims=True)
+        dsb = ds.astype(in_dtype)
+        dq_r = jax.lax.dot_general(
+            dsb, k, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        dk_p = jax.lax.dot_general(
+            dsb, qr, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        dq_ref[0, 0, 0, row, :] = dq_r.astype(dq_ref.dtype)
+        dbias_ref[0, row, :] = dbias_ref[0, row, :] + ds
+        return dk_acc + dk_p, dv_acc + dv_p
+
+    dk, dv = jax.lax.fori_loop(
+        0, l // br, body,
+        (jnp.zeros((l, c_qk), jnp.float32),
+         jnp.zeros((l, c_v), jnp.float32)))
+    dk_ref[0, 0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0, 0] = dv.astype(dv_ref.dtype)
+
+
+# -- pallas_call wrappers ---------------------------------------------------
+
+
 def _pad_windows(arrs, bn: int, n: int):
     n_pad = (-n) % bn
     if not n_pad:
@@ -318,11 +520,26 @@ def _train_specs(bn, l, c_qk, c_v):
     tok = lambda c: pl.BlockSpec(  # noqa: E731
         (1, 1, bn, l, c), lambda hh, bb, nn: (bb, hh, nn, 0, 0),
         memory_space=pltpu.VMEM)
-    seed = pl.BlockSpec((1, 1), lambda hh, bb, nn: (0, 0),
+    seed = pl.BlockSpec((1, 2), lambda hh, bb, nn: (0, 0),
                         memory_space=pltpu.SMEM)
     bias = pl.BlockSpec((1, l, l), lambda hh, bb, nn: (hh, 0, 0),
                         memory_space=pltpu.VMEM)
     return seed, tok, bias
+
+
+def _rb_specs(l, c_qk, c_v):
+    """Specs for the row-blocked kernels: grid (h, b, n), whole-window
+    token blocks (tiny at JL widths), per-head (L, L) bias/dbias blocks."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    full = lambda c: pl.BlockSpec(  # noqa: E731
+        (1, 1, 1, l, c), lambda hh, bb, nn: (bb, hh, nn, 0, 0),
+        memory_space=pltpu.VMEM)
+    seed = pl.BlockSpec((1, 2), lambda hh, bb, nn: (0, 0),
+                        memory_space=pltpu.SMEM)
+    bias_full = pl.BlockSpec((1, l, l), lambda hh, bb, nn: (hh, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return seed, full, bias_full
 
 
 def _train_fwd_pallas(q, k, v, bias, seed, scale, p, interpret=False):
@@ -330,18 +547,32 @@ def _train_fwd_pallas(q, k, v, bias, seed, scale, p, interpret=False):
 
     b, h, n, l, c_qk = q.shape
     c_v = v.shape[-1]
-    bn = min(_block_windows_train(l), n)
-    (q, k, v), n_total = _pad_windows([q, k, v], bn, n)
-    seed_spec, tok, bias_spec = _train_specs(bn, l, c_qk, c_v)
-    out = pl.pallas_call(
-        functools.partial(_train_fwd_kernel, scale=scale, p=p),
-        out_shape=jax.ShapeDtypeStruct((b, h, n_total, l, c_v), v.dtype),
-        grid=(h, b, n_total // bn),
-        in_specs=[seed_spec, tok(c_qk), tok(c_qk), tok(c_v), bias_spec],
-        out_specs=tok(c_v),
+    if _full_train_fits(l):
+        bn = min(_block_windows_train(l), n)
+        (q, k, v), n_total = _pad_windows([q, k, v], bn, n)
+        seed_spec, tok, bias_spec = _train_specs(bn, l, c_qk, c_v)
+        out = pl.pallas_call(
+            functools.partial(_train_fwd_kernel, scale=scale, p=p),
+            out_shape=jax.ShapeDtypeStruct((b, h, n_total, l, c_v), v.dtype),
+            grid=(h, b, n_total // bn),
+            in_specs=[seed_spec, tok(c_qk), tok(c_qk), tok(c_v), bias_spec],
+            out_specs=tok(c_v),
+            interpret=interpret,
+        )(seed, q, k, v, bias.astype(jnp.float32))
+        return out[:, :, :n] if n_total != n else out
+
+    br = _rowblock_size(l)
+    assert br > 0, f"no fused train kernel fits L={l}"
+    seed_spec, full, bias_full = _rb_specs(l, c_qk, c_v)
+    return pl.pallas_call(
+        functools.partial(_train_fwd_rb_kernel, scale=scale, p=p,
+                          br=br, l=l),
+        out_shape=jax.ShapeDtypeStruct((b, h, n, l, c_v), v.dtype),
+        grid=(h, b, n),
+        in_specs=[seed_spec, full(c_qk), full(c_qk), full(c_v), bias_full],
+        out_specs=full(c_v),
         interpret=interpret,
     )(seed, q, k, v, bias.astype(jnp.float32))
-    return out[:, :, :n] if n_total != n else out
 
 
 def _train_bwd_pallas(q, k, v, bias, seed, do, scale, p, interpret=False):
@@ -349,48 +580,72 @@ def _train_bwd_pallas(q, k, v, bias, seed, do, scale, p, interpret=False):
 
     b, h, n, l, c_qk = q.shape
     c_v = v.shape[-1]
-    bn = min(_block_windows_train(l), n)
-    (q, k, v, do), n_total = _pad_windows([q, k, v, do], bn, n)
-    seed_spec, tok, bias_spec = _train_specs(bn, l, c_qk, c_v)
-    dq, dk, dv, dbias = pl.pallas_call(
-        functools.partial(_train_bwd_kernel, scale=scale, p=p),
+    if _full_train_fits(l):
+        bn = min(_block_windows_train(l), n)
+        (q, k, v, do), n_total = _pad_windows([q, k, v, do], bn, n)
+        seed_spec, tok, bias_spec = _train_specs(bn, l, c_qk, c_v)
+        dq, dk, dv, dbias = pl.pallas_call(
+            functools.partial(_train_bwd_kernel, scale=scale, p=p),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, h, n_total, l, c_qk), q.dtype),
+                jax.ShapeDtypeStruct((b, h, n_total, l, c_qk), k.dtype),
+                jax.ShapeDtypeStruct((b, h, n_total, l, c_v), v.dtype),
+                jax.ShapeDtypeStruct((h, l, l), jnp.float32),
+            ),
+            grid=(h, b, n_total // bn),
+            in_specs=[seed_spec, tok(c_qk), tok(c_qk), tok(c_v), bias_spec,
+                      tok(c_v)],
+            out_specs=(tok(c_qk), tok(c_qk), tok(c_v), bias_spec),
+            interpret=interpret,
+        )(seed, q, k, v, bias.astype(jnp.float32), do)
+        if n_total != n:
+            dq, dk, dv = dq[:, :, :n], dk[:, :, :n], dv[:, :, :n]
+        return dq, dk, dv, dbias
+
+    br = _rowblock_size(l)
+    assert br > 0, f"no fused train kernel fits L={l}"
+    seed_spec, full, bias_full = _rb_specs(l, c_qk, c_v)
+    return pl.pallas_call(
+        functools.partial(_train_bwd_rb_kernel, scale=scale, p=p,
+                          br=br, l=l),
         out_shape=(
-            jax.ShapeDtypeStruct((b, h, n_total, l, c_qk), q.dtype),
-            jax.ShapeDtypeStruct((b, h, n_total, l, c_qk), k.dtype),
-            jax.ShapeDtypeStruct((b, h, n_total, l, c_v), v.dtype),
+            jax.ShapeDtypeStruct((b, h, n, l, c_qk), q.dtype),
+            jax.ShapeDtypeStruct((b, h, n, l, c_qk), k.dtype),
+            jax.ShapeDtypeStruct((b, h, n, l, c_v), v.dtype),
             jax.ShapeDtypeStruct((h, l, l), jnp.float32),
         ),
-        grid=(h, b, n_total // bn),
-        in_specs=[seed_spec, tok(c_qk), tok(c_qk), tok(c_v), bias_spec,
-                  tok(c_v)],
-        out_specs=(tok(c_qk), tok(c_qk), tok(c_v), bias_spec),
+        grid=(h, b, n),
+        in_specs=[seed_spec, full(c_qk), full(c_qk), full(c_v), bias_full,
+                  full(c_v)],
+        out_specs=(full(c_qk), full(c_qk), full(c_v), bias_full),
         interpret=interpret,
     )(seed, q, k, v, bias.astype(jnp.float32), do)
-    if n_total != n:
-        dq, dk, dv = dq[:, :, :n], dk[:, :, :n], dv[:, :, :n]
-    return dq, dk, dv, dbias
 
 
 def _train_xla(q, k, v, bias, seed, scale, p):
     """XLA path with the SAME counter-based dropout mask as the kernels —
-    bit-identical when the window count is a block multiple (no padding),
-    which makes it both the off-TPU fallback and the parity oracle."""
+    bit-identical whenever the kernels run one window per block (bn=1, the
+    case for every L ≥ ~256 including the row-blocked path) or the window
+    count is a block multiple (no padding). Serves as both the off-TPU
+    fallback and the parity oracle."""
     b, h, n, l, _ = q.shape
     scores = jnp.einsum("bhnlc,bhnmc->bhnlm",
                         q.astype(jnp.float32), k.astype(jnp.float32),
                         preferred_element_type=jnp.float32) * scale
     weights = jax.nn.softmax(scores + bias[None, :, None], axis=-1)
     if p > 0.0:
-        flat = weights.reshape(b * h * n, l, l)
-        # global window order in the kernels is (h, b, n) — match it.
-        order = jnp.arange(h * b * n, dtype=jnp.uint32).reshape(h, b, n)
-        base = jnp.transpose(order, (1, 0, 2)).reshape(-1)
-        keep = jax.vmap(
-            lambda gw: _dropout_keep((1, l, l), p,
-                                     seed[0, 0].astype(jnp.uint32), gw)
-        )(base)[:, 0]
-        weights = jnp.where(keep.reshape(weights.shape),
-                            weights / (1.0 - p), 0.0)
+        s = seed[0, 0].astype(jnp.uint32)
+        off = seed[0, 1].astype(jnp.uint32)
+        # global window ids, batch-major (b, h, n) order
+        wid = ((off + jnp.arange(b, dtype=jnp.uint32))[:, None, None]
+               * jnp.uint32(h)
+               + jnp.arange(h, dtype=jnp.uint32)[None, :, None]
+               ) * jnp.uint32(n) + jnp.arange(n, dtype=jnp.uint32)
+        i = jnp.arange(l, dtype=jnp.uint32)
+        gid = ((wid[..., None, None] * jnp.uint32(l) + i[:, None])
+               * jnp.uint32(l) + i[None, :])
+        keep = _keep_mask(gid, p, s)
+        weights = jnp.where(keep, weights / (1.0 - p), 0.0)
     return jnp.einsum("bhnlm,bhnmc->bhnlc", weights,
                       v.astype(jnp.float32),
                       preferred_element_type=jnp.float32).astype(v.dtype)
@@ -401,8 +656,11 @@ def window_attention_train(q, k, v, bias, seed, scale: float, p: float,
                            interpret: bool = False):
     """Fused attention with in-kernel weight dropout (training path).
 
-    ``seed``: (1, 1) int32 — fold a fresh value in per step (the kernel
-    derives per-window streams from it). Differentiable in q/k/v/bias.
+    ``seed``: (1, 2) int32 ``[step_seed, global_batch_offset]`` — fold a
+    fresh seed in per step; the batch offset is 0 single-device and
+    ``axis_index('data') * local_batch`` under shard_map, which makes the
+    dropout mask bit-identical to the unsharded run. Differentiable in
+    q/k/v/bias.
     """
     return _train_fwd_pallas(q, k, v, bias, seed, scale, p,
                              interpret=interpret)
@@ -425,11 +683,16 @@ def _wat_bwd(scale, p, interpret, res, g):
 window_attention_train.defvjp(_wat_fwd, _wat_bwd)
 
 
-# Process-level toggle for the fused train path. GSPMD cannot partition
-# the pallas custom-call, so mesh/SPMD step builders switch it off
-# (sticky for the process — mesh and single-chip training don't share
-# processes in practice); it is also inert off-TPU.
+# ---------------------------------------------------------------------------
+# Dispatch state: fused-kernel toggle, interpret forcing (CPU tests), and
+# the SPMD mesh scope that lets the sharded step keep the kernel ON by
+# wrapping attention calls in shard_map (GSPMD cannot partition a pallas
+# custom call, but the windows are embarrassingly parallel over batch).
+# ---------------------------------------------------------------------------
+
 _TRAIN_FUSED = True
+_FORCE_INTERPRET = False
+_SPMD_MESH: Optional[object] = None
 
 
 def set_train_fused(enabled: bool) -> None:
@@ -437,9 +700,41 @@ def set_train_fused(enabled: bool) -> None:
     _TRAIN_FUSED = bool(enabled)
 
 
+def set_force_interpret(enabled: bool) -> None:
+    """Test hook: run the Pallas kernels in interpret mode on non-TPU
+    backends (the CPU-mesh suite uses this to exercise the fused path)."""
+    global _FORCE_INTERPRET
+    _FORCE_INTERPRET = bool(enabled)
+
+
+def force_interpret() -> bool:
+    return _FORCE_INTERPRET and jax.default_backend() != "tpu"
+
+
+@contextlib.contextmanager
+def spmd_scope(mesh):
+    """While active, PWA attention dispatch wraps the fused kernels in
+    ``jax.shard_map`` over ``mesh`` (batch split on the ``data`` axis).
+    The sharded step builders enter this scope around every step call so
+    (re)tracing under the mesh picks it up; single-device steps traced
+    outside the scope are unaffected."""
+    global _SPMD_MESH
+    prev = _SPMD_MESH
+    _SPMD_MESH = mesh
+    try:
+        yield
+    finally:
+        _SPMD_MESH = prev
+
+
+def spmd_mesh():
+    return _SPMD_MESH
+
+
 def train_fused_enabled(tokens: int = 0) -> bool:
     """``tokens`` = L (modalities · tokens-per-window) of the level asking;
-    levels whose windows exceed the backward kernel's VMEM fit stay on the
-    XLA path."""
-    return (_TRAIN_FUSED and jax.default_backend() == "tpu"
+    levels whose windows exceed every fused backward's VMEM fit stay on
+    the XLA path."""
+    return (_TRAIN_FUSED
+            and (jax.default_backend() == "tpu" or force_interpret())
             and (tokens == 0 or train_fits_vmem(tokens)))

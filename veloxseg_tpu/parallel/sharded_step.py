@@ -31,12 +31,14 @@ def make_sharded_train_step(mesh, loss_obj: CompositeLoss,
     ``step(state, inputs, labels, rng) -> (state, aux)``; inputs must be
     laid out with :func:`batch_sharding` (the step enforces it via
     in_shardings).
+
+    The fused-attention Pallas kernels stay ON under SPMD: every call runs
+    inside :func:`veloxseg_tpu.ops.pwa_attention.spmd_scope`, so (re)traces
+    wrap the kernels in ``jax.shard_map`` over the mesh's ``data`` axis
+    (with the global batch offset threaded into the dropout mask — the
+    sharded step is bit-identical to the single-device one).
     """
-    # GSPMD cannot partition the fused-attention pallas custom-call; the
-    # SPMD step must trace the pure-XLA attention path (sticky per
-    # process — mesh and single-chip training don't share processes).
     from ..ops import pwa_attention
-    pwa_attention.set_train_fused(False)
 
     repl = replicate_sharding(mesh)
     x_shard = batch_sharding(mesh, spatial_shard)
@@ -75,4 +77,8 @@ def make_sharded_train_step(mesh, loss_obj: CompositeLoss,
                 aux["deep"] = tuple(deep_metrics(heads, labels))
         return state, aux
 
-    return step
+    def step_in_scope(state, inputs, labels, rng):
+        with pwa_attention.spmd_scope(mesh):
+            return step(state, inputs, labels, rng)
+
+    return step_in_scope
