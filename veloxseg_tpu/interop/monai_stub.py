@@ -268,6 +268,50 @@ def _build_modules():
             UnetrBasicBlock, UnetOutBlock)
 
 
+def _build_losses():
+    import torch
+    from torch import nn
+
+    class DiceLoss(nn.Module):
+        """MONAI ``DiceLoss`` semantics for the option set the reference
+        uses (``utils/loss.py:18-20``): softmax over channel 1, one-hot of
+        a (B, 1, ...) integer target, optional background exclusion,
+        smooth 1e-5 in numerator and denominator, per-(batch, class) dice
+        reduced by mean. Mirrors MONAI's documented formula; the JAX twin
+        is ``veloxseg_tpu.train.loss.dice_loss``."""
+
+        def __init__(self, include_background=True, to_onehot_y=False,
+                     softmax=False, smooth_nr=1e-5, smooth_dr=1e-5):
+            super().__init__()
+            self.include_background = include_background
+            self.to_onehot_y = to_onehot_y
+            self.softmax = softmax
+            self.smooth_nr = smooth_nr
+            self.smooth_dr = smooth_dr
+
+        def forward(self, input, target):
+            if self.softmax:
+                input = torch.softmax(input, dim=1)
+            n_ch = input.shape[1]
+            if self.to_onehot_y:
+                t = target.long()
+                target = torch.zeros(
+                    t.shape[0], n_ch, *t.shape[2:],
+                    dtype=input.dtype).scatter_(1, t, 1.0)
+            if not self.include_background:
+                input = input[:, 1:]
+                target = target[:, 1:]
+            reduce_axis = list(range(2, input.ndim))
+            intersection = (target * input).sum(dim=reduce_axis)
+            denominator = target.sum(dim=reduce_axis) + input.sum(
+                dim=reduce_axis)
+            f = 1.0 - (2.0 * intersection + self.smooth_nr) / (
+                denominator + self.smooth_dr)
+            return f.mean()
+
+    return DiceLoss
+
+
 def install() -> None:
     """Register the stub under ``monai.*`` (no-op if real MONAI exists)."""
     try:
@@ -322,6 +366,11 @@ def install() -> None:
                                                   NEAREST="nearest")
     utils.UpsampleMode = types.SimpleNamespace(
         NONTRAINABLE="nontrainable", DECONV="deconv", PIXELSHUFFLE="ps")
+    losses = types.ModuleType("monai.losses")
+    losses.DiceLoss = _build_losses()
+    monai.losses = losses
+    sys.modules["monai.losses"] = losses
+
     monai.networks = networks
     monai.utils = utils
     networks.blocks = blocks
