@@ -409,6 +409,14 @@ def install_timm_and_batchgenerators() -> None:
                 return x
 
         tlayers.DropPath = _DropPath
+
+        def _to_ntuple(n):
+            def tup(x):
+                return tuple(x) if isinstance(x, (tuple, list)) else (x,) * n
+            return tup
+
+        tlayers.to_2tuple = _to_ntuple(2)
+        tlayers.to_3tuple = _to_ntuple(3)
         timm.models = models
         models.layers = tlayers
         sys.modules["timm"] = timm
@@ -429,3 +437,30 @@ def install_timm_and_batchgenerators() -> None:
         sys.modules["batchgenerators"] = bg
         sys.modules["batchgenerators.augmentations"] = aug
         sys.modules["batchgenerators.augmentations.utils"] = butils
+
+
+def install_torchvision() -> None:
+    """Minimal ``torchvision`` placeholder: the reference U-KAN imports it
+    (plus ``transforms`` / ``save_image``) at module scope but never uses
+    any of it in the network forward (``compared_model/UKAN/archs.py:3-7``).
+    """
+    if "torchvision" in sys.modules:
+        return
+    try:
+        import torchvision  # noqa: F401
+        return
+    except ImportError:
+        pass
+    tv = types.ModuleType("torchvision")
+    transforms = types.ModuleType("torchvision.transforms")
+    utils = types.ModuleType("torchvision.utils")
+
+    def save_image(*a, **k):  # pragma: no cover - never called
+        raise NotImplementedError("torchvision stub")
+
+    utils.save_image = save_image
+    tv.transforms = transforms
+    tv.utils = utils
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.transforms"] = transforms
+    sys.modules["torchvision.utils"] = utils

@@ -1024,6 +1024,87 @@ def _map_vsmtrans_key(key: str) -> Optional[Tuple[Tuple[str, ...], Any]]:
     raise KeyError(f"unmapped VSmTrans key: {key}")
 
 
+
+# ---------------------------------------------------------------------------
+# U-KAN (compared_model/UKAN/archs.py:239). Conv/BN double-conv stages,
+# overlapping patch embeds, KAN blocks (KANLinear + depthwise conv+BN).
+# BN running stats are dropped (our BatchNormNoTrack uses batch stats —
+# parity tests run the reference in train() mode); KANLinear ``grid`` is a
+# constant buffer, recomputed on our side.
+# ---------------------------------------------------------------------------
+
+
+def _dense_from_1x1(w: np.ndarray) -> np.ndarray:
+    """Conv3d k=1 (O, I, 1, 1, 1) → Dense (I, O)."""
+    return np.transpose(w.reshape(w.shape[0], w.shape[1]))
+
+
+def _map_ukan_key(key: str) -> Optional[Tuple[Tuple[str, ...], Any]]:
+    if key.endswith("num_batches_tracked") or ".running_" in key \
+            or key.endswith(".grid"):
+        return None
+    # encoder/decoder double convs: conv.{0,3}=convs, conv.{1,4}=BNs
+    m = re.fullmatch(r"(encoder|decoder)(\d)\.conv\.([0134])\.(weight|bias)",
+                     key)
+    if m:
+        mod = f"{m.group(1)}{m.group(2)}"
+        idx, p = m.group(3), m.group(4)
+        sub = {"0": "conv1", "1": "bn1", "3": "conv2", "4": "bn2"}[idx]
+        if sub.startswith("conv"):
+            return (mod, sub, "kernel" if p == "weight" else "bias"), \
+                _conv3d_w if p == "weight" else _identity
+        return (mod, sub, "scale" if p == "weight" else "bias"), _identity
+    # top-level LayerNorms
+    m = re.fullmatch(r"(d?norm[34])\.(weight|bias)", key)
+    if m:
+        return (m.group(1), "scale" if m.group(2) == "weight" else "bias"), \
+            _identity
+    # patch embeds
+    m = re.fullmatch(r"patch_embed([34])\.(proj|norm)\.(weight|bias)", key)
+    if m:
+        mod, p = f"patch_embed{m.group(1)}", m.group(3)
+        if m.group(2) == "proj":
+            return (mod, "proj", "kernel" if p == "weight" else "bias"), \
+                _conv3d_w if p == "weight" else _identity
+        return (mod, "norm", "scale" if p == "weight" else "bias"), \
+            _identity
+    # KAN blocks (single block per ModuleList in the reference)
+    m = re.fullmatch(r"(d?block[12])\.0\.(.+)", key)
+    if m:
+        blk, rest = m.group(1), m.group(2)
+        m2 = re.fullmatch(r"norm2\.(weight|bias)", rest)
+        if m2:
+            return (blk, "norm",
+                    "scale" if m2.group(1) == "weight" else "bias"), \
+                _identity
+        m2 = re.fullmatch(
+            r"layer\.fc(\d)\.(base_weight|spline_weight|spline_scaler)",
+            rest)
+        if m2:
+            tf = {"base_weight": _dense_w,
+                  "spline_scaler": _dense_w,
+                  "spline_weight":
+                      lambda w: np.transpose(w, (1, 2, 0))}[m2.group(2)]
+            return (blk, f"fc{m2.group(1)}", m2.group(2)), tf
+        m2 = re.fullmatch(r"layer\.dwconv_(\d)\.(dwconv|bn)\.(weight|bias)",
+                          rest)
+        if m2:
+            j, p = m2.group(1), m2.group(3)
+            if m2.group(2) == "dwconv":
+                return (blk, f"dw{j}", "dw",
+                        "kernel" if p == "weight" else "bias"), \
+                    _conv3d_w if p == "weight" else _identity
+            return (blk, f"dw{j}", "bn",
+                    "scale" if p == "weight" else "bias"), _identity
+        raise KeyError(f"unmapped U-KAN block key: {key}")
+    m = re.fullmatch(r"final\.(weight|bias)", key)
+    if m:
+        p = m.group(1)
+        return ("final", "kernel" if p == "weight" else "bias"), \
+            _dense_from_1x1 if p == "weight" else _identity
+    raise KeyError(f"unmapped U-KAN key: {key}")
+
+
 _CONVERTERS = {"MedNeXt": _map_mednext_key,
                "SlimUNETR": _make_slim_mapper(),
                "SegFormer": _map_segformer_key,
@@ -1032,7 +1113,8 @@ _CONVERTERS = {"MedNeXt": _map_mednext_key,
                "UNETRpp": _map_unetrpp_key,
                "A2FSeg": _map_a2fseg_key,
                "SuperLightNet": _map_superlightnet_key,
-               "VSmTrans": _map_vsmtrans_key}
+               "VSmTrans": _map_vsmtrans_key,
+               "UKAN": _map_ukan_key}
 
 
 def convert_zoo_state_dict(model_name: str, state_dict: Dict[str, Any],
