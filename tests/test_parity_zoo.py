@@ -605,3 +605,70 @@ def test_ukan_converter_covers_every_key():
         return int(np.prod(node.shape))
 
     assert count(converted) == n_src
+
+
+# ---------------------------------------------------------------------------
+# U-RWKV — imported-weight forward parity (VERDICT r2 item 4). The
+# reference JIT-compiles a CUDA WKV kernel at import with a hardcoded
+# path; interop.monai_stub.install_wkv_cpu() intercepts the load with a
+# pure-torch implementation of the same recurrence, so the live reference
+# code instantiates on CPU.
+# ---------------------------------------------------------------------------
+
+
+def _load_ref_urwkv(in_ch: int, n_classes: int):
+    from veloxseg_tpu.interop import monai_stub
+
+    monai_stub.install_timm_and_batchgenerators()
+    monai_stub.install_torchvision()
+    monai_stub.install_wkv_cpu()
+    if REF_ZOO not in sys.path:
+        sys.path.insert(0, REF_ZOO)
+    import importlib
+    mod = importlib.import_module("URWKV.URWKV")
+    model = mod.v_enc_256_fffse_dec_fusion_rwkv_with2x4_3d(
+        input_channel=in_ch, num_classes=n_classes)
+    model.train()  # BN batch stats == our BatchNormNoTrack
+    return model
+
+
+def test_urwkv_forward_parity():
+    from veloxseg_tpu.models.zoo.urwkv import URWKV
+
+    torch.manual_seed(0)
+    in_ch, n_classes = 2, 2
+    ref = _load_ref_urwkv(in_ch, n_classes)
+
+    flax_model = URWKV(num_classes=n_classes)
+    x_np = np.random.default_rng(6).standard_normal(
+        (1, 32, 32, 32, in_ch)).astype(np.float32)
+    template = jax.jit(flax_model.init, static_argnames="train")(
+        jax.random.PRNGKey(0), jnp.asarray(x_np), train=False)["params"]
+    params = convert_zoo_state_dict("URWKV", ref.state_dict(), template)
+
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(np.ascontiguousarray(
+            np.transpose(x_np, (0, 4, 1, 2, 3)))))
+    ref_out = np.transpose(ref_out.numpy(), (0, 2, 3, 4, 1))
+
+    out = jax.jit(flax_model.apply, static_argnames="train")(
+        {"params": params}, jnp.asarray(x_np), train=False)
+    np.testing.assert_allclose(np.asarray(out), ref_out,
+                               atol=5e-4, rtol=5e-4)
+
+
+def test_urwkv_converter_covers_every_key():
+    from veloxseg_tpu.interop.zoo_import import _URWKV_DEAD
+
+    ref = _load_ref_urwkv(2, 2)
+    converted = convert_zoo_state_dict("URWKV", ref.state_dict())
+    n_src = sum(v.numel() for k, v in ref.state_dict().items()
+                if "running_" not in k and "num_batches" not in k
+                and not _URWKV_DEAD.match(k))
+
+    def count(node):
+        if isinstance(node, dict):
+            return sum(count(v) for v in node.values())
+        return int(np.prod(node.shape))
+
+    assert count(converted) == n_src

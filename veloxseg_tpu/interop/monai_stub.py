@@ -454,6 +454,7 @@ def install_torchvision() -> None:
     tv = types.ModuleType("torchvision")
     transforms = types.ModuleType("torchvision.transforms")
     utils = types.ModuleType("torchvision.utils")
+    models = types.ModuleType("torchvision.models")
 
     def save_image(*a, **k):  # pragma: no cover - never called
         raise NotImplementedError("torchvision stub")
@@ -461,6 +462,65 @@ def install_torchvision() -> None:
     utils.save_image = save_image
     tv.transforms = transforms
     tv.utils = utils
+    tv.models = models
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.transforms"] = transforms
     sys.modules["torchvision.utils"] = utils
+    sys.modules["torchvision.models"] = models
+
+
+def install_wkv_cpu() -> None:
+    """Intercept the reference U-RWKV's JIT CUDA-extension load.
+
+    ``compared_model/URWKV/URWKV.py:28-29`` compiles ``wkv_cuda`` at import
+    time from a hardcoded absolute path (broken off the authors' machine,
+    CUDA-only anyway). This patches ``torch.utils.cpp_extension.load`` to
+    return a pure-torch object implementing the SAME recurrence as the
+    kernel (``cuda/wkv_cuda.cu:8-38``): per-(batch, channel) scan over T
+    with running sums kept in log space —
+
+        y_t = (Σ_{i<t} e^{(t-1-i)w + k_i} v_i + e^{u+k_t} v_t)
+              / (Σ_{i<t} e^{(t-1-i)w + k_i} + e^{u+k_t})
+
+    Forward only — enough for imported-weight forward-parity tests; the
+    TPU training path uses :mod:`veloxseg_tpu.ops.wkv`.
+    """
+    import torch
+    from torch.utils import cpp_extension
+
+    if getattr(cpp_extension.load, "_wkv_stub", False):
+        return
+    orig_load = cpp_extension.load
+
+    class _WkvCpu:
+        @staticmethod
+        def forward(B, T, C, w, u, k, v, y):
+            p = torch.zeros(B, C, dtype=torch.float32)
+            q = torch.zeros(B, C, dtype=torch.float32)
+            o = torch.full((B, C), -1e38, dtype=torch.float32)
+            for t in range(T):
+                kt = k[:, t]
+                vt = v[:, t]
+                no = torch.maximum(o, u + kt)
+                a = torch.exp(o - no)
+                b = torch.exp(u + kt - no)
+                y[:, t] = (a * p + b * vt) / (a * q + b)
+                no = torch.maximum(w + o, kt)
+                a = torch.exp(w + o - no)
+                b = torch.exp(kt - no)
+                p = a * p + b * vt
+                q = a * q + b
+                o = no
+
+        @staticmethod
+        def backward(*a, **k):  # pragma: no cover
+            raise NotImplementedError(
+                "wkv CPU stub is forward-only (parity tests)")
+
+    def load(name, *a, **kw):
+        if name == "wkv":
+            return _WkvCpu()
+        return orig_load(name, *a, **kw)
+
+    load._wkv_stub = True
+    cpp_extension.load = load

@@ -1105,6 +1105,137 @@ def _map_ukan_key(key: str) -> Optional[Tuple[Tuple[str, ...], Any]]:
     raise KeyError(f"unmapped U-KAN key: {key}")
 
 
+
+# ---------------------------------------------------------------------------
+# U-RWKV (compared_model/URWKV/URWKV.py, builder
+# v_enc_256_fffse_dec_fusion_rwkv_with2x4_3d:270). Dead parameters the
+# forward never touches are dropped: e{1-4}.pwconv (shallow MultiSE defines
+# but never calls it), outconv (head is Conv_1x1), and SpaBlockScan's own
+# gamma2/ln2 (it uses gamma1/ln1 for all six scans — URWKV.py:385-409).
+# ---------------------------------------------------------------------------
+
+_URWKV_DEAD = re.compile(
+    r"(e[1-4]\.pwconv\.|outconv\.|"
+    r"bx4rwkv\.allinone_spa\.(gamma2$|ln2\.))")
+
+
+def _mix_flat(w: np.ndarray) -> np.ndarray:
+    """(1, 1, C) spatial-mix parameter → (C,)."""
+    return w.reshape(-1)
+
+
+def _map_urwkv_key(key: str) -> Optional[Tuple[Tuple[str, ...], Any]]:
+    if key.endswith("num_batches_tracked") or ".running_" in key:
+        return None
+    if _URWKV_DEAD.match(key):
+        return None
+    m = re.fullmatch(r"stem\.([01])\.(weight|bias)", key)
+    if m:
+        if m.group(1) == "0":
+            return ("stem_conv",
+                    "kernel" if m.group(2) == "weight" else "bias"), \
+                _conv3d_w if m.group(2) == "weight" else _identity
+        return ("stem_bn",
+                "scale" if m.group(2) == "weight" else "bias"), _identity
+
+    def conv_or_bn(path_conv, path_bn, idx_conv, idx, p):
+        if idx == idx_conv:
+            return tuple(path_conv) + (
+                "kernel" if p == "weight" else "bias",), \
+                _conv3d_w if p == "weight" else _identity
+        return tuple(path_bn) + ("scale" if p == "weight" else "bias",), \
+            _identity
+
+    # shallow MultiSE stages e1-e4
+    m = re.fullmatch(r"e([1-4])\.(bn_in_c|dwconv\.dwconv)\.(weight|bias)",
+                     key)
+    if m:
+        e, p = f"e{m.group(1)}", m.group(3)
+        if m.group(2) == "bn_in_c":
+            return (e, "bn", "scale" if p == "weight" else "bias"), _identity
+        return (e, "dwconv", "kernel" if p == "weight" else "bias"), \
+            _conv3d_w if p == "weight" else _identity
+    m = re.fullmatch(
+        r"e([1-4])\.(pwconv_in_in4|pwconv_in4_out)\.conv\.([01])\."
+        r"(weight|bias)", key)
+    if m:
+        e = f"e{m.group(1)}"
+        sub = "pw_in4" if m.group(2) == "pwconv_in_in4" else "pw_out"
+        return conv_or_bn((e, sub, "conv"), (e, sub, "bn"), "0",
+                          m.group(3), m.group(4))
+    # deep MultiSE stage e5
+    m = re.fullmatch(r"e5\.pwconv([12])\.conv\.([01])\.(weight|bias)", key)
+    if m:
+        sub = f"pw{m.group(1)}"
+        return conv_or_bn(("e5", sub, "conv"), ("e5", sub, "bn"), "0",
+                          m.group(2), m.group(3))
+    m = re.fullmatch(r"e5\.m\.(\d)\.dwconv\.(weight|bias)", key)
+    if m:
+        p = m.group(2)
+        return ("e5", f"dw_{m.group(1)}",
+                "kernel" if p == "weight" else "bias"), \
+            _conv3d_w if p == "weight" else _identity
+    # RWKV bottleneck
+    m = re.fullmatch(r"bx4rwkv\.(gamma2)", key)
+    if m:
+        return ("bx4rwkv", "gamma2"), _identity
+    m = re.fullmatch(r"bx4rwkv\.ln2\.(weight|bias)", key)
+    if m:
+        return ("bx4rwkv", "ln2",
+                "scale" if m.group(1) == "weight" else "bias"), _identity
+    m = re.fullmatch(r"bx4rwkv\.allinone_spa\.(gamma1)", key)
+    if m:
+        return ("bx4rwkv", "gamma1"), _identity
+    m = re.fullmatch(r"bx4rwkv\.allinone_spa\.ln1\.(weight|bias)", key)
+    if m:
+        return ("bx4rwkv", "ln1",
+                "scale" if m.group(1) == "weight" else "bias"), _identity
+    m = re.fullmatch(
+        r"bx4rwkv\.(allinone_spa|ffn)\."
+        r"(spatial_decay|spatial_first|spatial_mix_[kvr])", key)
+    if m:
+        mod = "spa_mix" if m.group(1) == "allinone_spa" else "ffn"
+        tf = _mix_flat if "mix" in m.group(2) else _identity
+        return ("bx4rwkv", mod, m.group(2)), tf
+    m = re.fullmatch(
+        r"bx4rwkv\.(allinone_spa|ffn)\.(key|value|receptance|output)\."
+        r"weight", key)
+    if m:
+        mod = "spa_mix" if m.group(1) == "allinone_spa" else "ffn"
+        return ("bx4rwkv", mod, m.group(2), "kernel"), _dense_w
+    m = re.fullmatch(
+        r"bx4rwkv\.(allinone_spa|ffn)\.key_norm\.(weight|bias)", key)
+    if m:
+        mod = "spa_mix" if m.group(1) == "allinone_spa" else "ffn"
+        return ("bx4rwkv", mod, "key_norm",
+                "scale" if m.group(2) == "weight" else "bias"), _identity
+    # decoder
+    m = re.fullmatch(r"Up([2-5])\.up\.([12])\.(weight|bias)", key)
+    if m:
+        up = f"up{m.group(1)}"
+        return conv_or_bn((up, "conv"), (up, "bn"), "1",
+                          m.group(2), m.group(3))
+    m = re.fullmatch(r"Up_conv([2-5])\.conv\.([02356 8]|\d)\.(weight|bias)",
+                     key)
+    if m:
+        upc = f"upc{m.group(1)}"
+        idx, p = m.group(2), m.group(3)
+        sub = {"0": ("conv1", True), "2": ("bn1", False),
+               "3": ("conv2", True), "5": ("bn2", False),
+               "6": ("conv3", True), "8": ("bn3", False)}[idx]
+        name, is_conv = sub
+        if is_conv:
+            return (upc, name, "kernel" if p == "weight" else "bias"), \
+                _conv3d_w if p == "weight" else _identity
+        return (upc, name, "scale" if p == "weight" else "bias"), _identity
+    m = re.fullmatch(r"Conv_1x1\.(weight|bias)", key)
+    if m:
+        p = m.group(1)
+        return ("head", "kernel" if p == "weight" else "bias"), \
+            _dense_from_1x1 if p == "weight" else _identity
+    raise KeyError(f"unmapped U-RWKV key: {key}")
+
+
 _CONVERTERS = {"MedNeXt": _map_mednext_key,
                "SlimUNETR": _make_slim_mapper(),
                "SegFormer": _map_segformer_key,
@@ -1114,7 +1245,8 @@ _CONVERTERS = {"MedNeXt": _map_mednext_key,
                "A2FSeg": _map_a2fseg_key,
                "SuperLightNet": _map_superlightnet_key,
                "VSmTrans": _map_vsmtrans_key,
-               "UKAN": _map_ukan_key}
+               "UKAN": _map_ukan_key,
+               "URWKV": _map_urwkv_key}
 
 
 def convert_zoo_state_dict(model_name: str, state_dict: Dict[str, Any],
