@@ -672,3 +672,70 @@ def test_urwkv_converter_covers_every_key():
         return int(np.prod(node.shape))
 
     assert count(converted) == n_src
+
+
+# ---------------------------------------------------------------------------
+# HCMA-UNet — imported-weight forward parity (VERDICT r2 item 4). The
+# reference needs mamba_ssm/causal_conv1d CUDA extensions to import;
+# interop.monai_stub.install_mamba_ssm() provides a pure-torch
+# selective_scan_fn + Mamba with the documented semantics, so the live
+# reference code instantiates and runs on CPU.
+# ---------------------------------------------------------------------------
+
+
+def _load_ref_hcma(in_ch: int, n_classes: int, channels, size):
+    from veloxseg_tpu.interop import monai_stub
+
+    monai_stub.install_timm_and_batchgenerators()
+    monai_stub.install_torchvision()
+    monai_stub.install_mamba_ssm()
+    if REF_ZOO not in sys.path:
+        sys.path.insert(0, REF_ZOO)
+    import importlib
+    mod = importlib.import_module("HCMA.HCMA")
+    model = mod.HCMA(in_channels=in_ch, n_classes=n_classes,
+                     patch_ini=list(size), channels=list(channels),
+                     predict_mode=True)
+    model.eval()
+    return model
+
+
+def test_hcma_forward_parity():
+    from veloxseg_tpu.models.zoo.hcma import HCMA
+
+    torch.manual_seed(0)
+    in_ch, n_classes = 2, 2
+    channels = (16, 32, 64, 128, 256)
+    size = (32, 32, 32)
+    ref = _load_ref_hcma(in_ch, n_classes, channels, size)
+
+    flax_model = HCMA(in_channels=in_ch, n_classes=n_classes,
+                      patch_ini=size, channels=channels)
+    x_np = np.random.default_rng(8).standard_normal(
+        (1, *size, in_ch)).astype(np.float32)
+    template = jax.jit(flax_model.init, static_argnames="train")(
+        jax.random.PRNGKey(0), jnp.asarray(x_np), train=False)["params"]
+    params = convert_zoo_state_dict("HCMA", ref.state_dict(), template)
+
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(np.ascontiguousarray(
+            np.transpose(x_np, (0, 4, 1, 2, 3)))))
+    ref_out = np.transpose(ref_out.numpy(), (0, 2, 3, 4, 1))
+
+    out = jax.jit(flax_model.apply, static_argnames="train")(
+        {"params": params}, jnp.asarray(x_np), train=False)
+    np.testing.assert_allclose(np.asarray(out), ref_out,
+                               atol=5e-4, rtol=5e-4)
+
+
+def test_hcma_converter_covers_every_key():
+    # count SOURCE elements consumed by the mapper (transforms may inflate
+    # the destination: ConvTranspose biases repeat per pixel-shuffle slot)
+    from veloxseg_tpu.interop.zoo_import import _map_hcma_key
+
+    ref = _load_ref_hcma(2, 2, (16, 32, 64, 128, 256), (32, 32, 32))
+    n_src = sum(v.numel() for k, v in ref.state_dict().items()
+                if not k.startswith(("out.0.", "out.1.", "out.2.")))
+    mapped = sum(v.numel() for k, v in ref.state_dict().items()
+                 if _map_hcma_key(k) is not None)
+    assert mapped == n_src

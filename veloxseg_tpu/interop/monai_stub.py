@@ -524,3 +524,122 @@ def install_wkv_cpu() -> None:
 
     load._wkv_stub = True
     cpp_extension.load = load
+
+
+def install_mamba_ssm() -> None:
+    """Pure-torch ``mamba_ssm`` stand-in for the reference HCMA-UNet.
+
+    The reference imports ``Mamba`` and ``selective_scan_fn`` from the
+    CUDA-only ``mamba_ssm`` package (``compared_model/HCMA/HCMA.py:14,
+    28-30``). This registers a stub implementing the documented selective
+    -scan semantics (state-space recurrence with optional grouped B/C,
+    delta bias/softplus, D skip, z gating) as a plain python loop — slow,
+    CPU-only, parity tests only. The live HCMA path (is_vssb=True) only
+    calls ``selective_scan_fn``; ``Mamba`` itself is import-surface.
+    """
+    if "mamba_ssm" in sys.modules:
+        return
+    try:
+        import mamba_ssm  # noqa: F401
+        return
+    except ImportError:
+        pass
+    import torch
+    import torch.nn.functional as F
+    from torch import nn
+
+    def selective_scan_ref(u, delta, A, B, C, D=None, z=None,
+                           delta_bias=None, delta_softplus=False,
+                           return_last_state=False):
+        """y_t = C_t·h_t + D·u_t with h_t = exp(Δ_t A)h_{t-1} + Δ_t B_t u_t.
+
+        u/delta: (b, d, l); A: (d, n); B/C: (b, n, l) or grouped
+        (b, k, n, l) with d split into k consecutive channel groups;
+        D: (d,); z: (b, d, l) SiLU gate.
+        """
+        dtype_in = u.dtype
+        u = u.float()
+        delta = delta.float()
+        b, d, l = u.shape
+        n = A.shape[1]
+        if delta_bias is not None:
+            delta = delta + delta_bias.float()[None, :, None]
+        if delta_softplus:
+            delta = F.softplus(delta)
+        if B.dim() == 4:
+            k = B.shape[1]
+            B = B.float().repeat_interleave(d // k, dim=1)   # (b, d, n, l)
+            C = C.float().repeat_interleave(d // k, dim=1)
+        else:
+            B = B.float()[:, None].expand(b, d, n, l)
+            C = C.float()[:, None].expand(b, d, n, l)
+        deltaA = torch.exp(delta.unsqueeze(-1) * A.float()[None, :, None])
+        # (b, d, l, n)
+        deltaBu = (delta * u).unsqueeze(-1) * B.permute(0, 1, 3, 2)
+        h = u.new_zeros(b, d, n)
+        ys = []
+        Ct = C.permute(0, 1, 3, 2)                            # (b, d, l, n)
+        for t in range(l):
+            h = deltaA[:, :, t] * h + deltaBu[:, :, t]
+            ys.append((h * Ct[:, :, t]).sum(-1))
+        y = torch.stack(ys, dim=-1)                           # (b, d, l)
+        if D is not None:
+            y = y + D.float()[None, :, None] * u
+        if z is not None:
+            y = y * F.silu(z.float())
+        y = y.to(dtype_in)
+        return (y, h) if return_last_state else y
+
+    class Mamba(nn.Module):
+        """Parameter-compatible Mamba block (pure torch forward)."""
+
+        def __init__(self, d_model, d_state=16, d_conv=4, expand=2,
+                     dt_rank="auto", conv_bias=True, bias=False, **kw):
+            super().__init__()
+            import math
+            self.d_model = d_model
+            self.d_state = d_state
+            self.d_conv = d_conv
+            self.d_inner = int(expand * d_model)
+            self.dt_rank = math.ceil(d_model / 16) if dt_rank == "auto" \
+                else dt_rank
+            self.in_proj = nn.Linear(d_model, self.d_inner * 2, bias=bias)
+            self.conv1d = nn.Conv1d(self.d_inner, self.d_inner,
+                                    kernel_size=d_conv, groups=self.d_inner,
+                                    padding=d_conv - 1, bias=conv_bias)
+            self.x_proj = nn.Linear(self.d_inner,
+                                    self.dt_rank + 2 * d_state, bias=False)
+            self.dt_proj = nn.Linear(self.dt_rank, self.d_inner, bias=True)
+            self.A_log = nn.Parameter(torch.log(torch.arange(
+                1, d_state + 1, dtype=torch.float32).repeat(
+                    self.d_inner, 1)))
+            self.D = nn.Parameter(torch.ones(self.d_inner))
+            self.out_proj = nn.Linear(self.d_inner, d_model, bias=bias)
+
+        def forward(self, x):
+            b, l, _ = x.shape
+            xz = self.in_proj(x).transpose(1, 2)          # (b, 2*di, l)
+            xi, z = xz.chunk(2, dim=1)
+            xi = self.conv1d(xi)[..., :l]
+            xi = torch.nn.functional.silu(xi)
+            dbc = self.x_proj(xi.transpose(1, 2))         # (b, l, r+2n)
+            dt, Bm, Cm = torch.split(
+                dbc, [self.dt_rank, self.d_state, self.d_state], dim=-1)
+            dt = self.dt_proj(dt).transpose(1, 2)         # (b, di, l)
+            y = selective_scan_ref(
+                xi, dt, -torch.exp(self.A_log.float()),
+                Bm.transpose(1, 2), Cm.transpose(1, 2), self.D, z=z,
+                delta_bias=None, delta_softplus=True)
+            return self.out_proj(y.transpose(1, 2))
+
+    mamba_ssm = types.ModuleType("mamba_ssm")
+    ops = types.ModuleType("mamba_ssm.ops")
+    iface = types.ModuleType("mamba_ssm.ops.selective_scan_interface")
+    iface.selective_scan_fn = selective_scan_ref
+    iface.selective_scan_ref = selective_scan_ref
+    mamba_ssm.Mamba = Mamba
+    mamba_ssm.ops = ops
+    ops.selective_scan_interface = iface
+    sys.modules["mamba_ssm"] = mamba_ssm
+    sys.modules["mamba_ssm.ops"] = ops
+    sys.modules["mamba_ssm.ops.selective_scan_interface"] = iface

@@ -1236,6 +1236,195 @@ def _map_urwkv_key(key: str) -> Optional[Tuple[Tuple[str, ...], Any]]:
     raise KeyError(f"unmapped U-RWKV key: {key}")
 
 
+# ---------------------------------------------------------------------------
+# HCMA-UNet (compared_model/HCMA/HCMA.py:1299, default flags: is_vssb=True,
+# is_split=True, is_slice_attention=True, is_skip=False, predict_mode).
+# Encoders: encoders.0 = DenseConv stem; encoders.n = Down (ResNeXt
+# downsample + TriplaneMamba + DenseConv extractor). Decoders: Up (1x1
+# adapt+IN + add-skip + ConvTranspose k=s). Heads: out ModuleList of
+# `depth` entries of which only out[depth-1] is live in predict mode
+# (HCMA.py:1425) — out.0..out.{depth-2} are dead weights and dropped.
+# ---------------------------------------------------------------------------
+
+_HCMA_DEC_STRIDES = (1, 2, 2, 2)  # decoder m uses strides[depth-1-m]
+
+
+def _hcma_convT(stride: int):
+    def tf(w: np.ndarray) -> np.ndarray:
+        # ConvTranspose3d k=s: (I, O, s, s, s) -> Dense (I, O*s^3); the
+        # (o, s1, s2, s3) channel factoring matches pixel_shuffle_3d.
+        return w.reshape(w.shape[0], -1)
+    return tf
+
+
+def _hcma_convT_b(stride: int):
+    def tf(b: np.ndarray) -> np.ndarray:
+        return np.repeat(b, stride ** 3)
+    return tf
+
+
+def _pos_embed_tf(w: np.ndarray) -> np.ndarray:
+    """(1, C, L, 1, 1) (any axis position) → (L, C)."""
+    c = w.shape[1]
+    return np.transpose(w.reshape(c, -1))
+
+
+def _conv2d_dw_tf(w: np.ndarray) -> np.ndarray:
+    """Depthwise Conv2d (C, 1, k, k) → (k, k, 1, C)."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _hcma_dense_conv(prefix, rest):
+    """DenseConv conv_list: 0=(dw 3x3 conv, IN affine), 1=(expand 1x1),
+    2=(out 1x1)."""
+    m = re.fullmatch(r"conv_list\.([012])\.([01])\.(weight|bias)", rest)
+    if not m:
+        return None
+    i, j, p = m.group(1), m.group(2), m.group(3)
+    if i == "0":
+        if j == "0":
+            return prefix + ("dw", "kernel" if p == "weight" else "bias"), \
+                _conv3d_w if p == "weight" else _identity
+        return prefix + ("norm", "scale" if p == "weight" else "bias"), \
+            _identity
+    sub = "expand" if i == "1" else "out"
+    return prefix + (sub, "kernel" if p == "weight" else "bias"), \
+        _conv1x1_w if p == "weight" else _identity
+
+
+def _hcma_resnext(prefix, rest):
+    """ResNeXtConv conv_list: 0=(1x1 pw1, IN n1), 1=(3x3 grouped dw, n2),
+    2=(1x1 pw2, n3)."""
+    m = re.fullmatch(r"conv_list\.([012])\.([01])\.(weight|bias)", rest)
+    if not m:
+        return None
+    i, j, p = m.group(1), m.group(2), m.group(3)
+    conv_name, norm_name, is_1x1 = {
+        "0": ("pw1", "n1", True), "1": ("dw", "n2", False),
+        "2": ("pw2", "n3", True)}[i]
+    if j == "0":
+        tf = (_conv1x1_w if is_1x1 else _conv3d_w) if p == "weight" \
+            else _identity
+        return prefix + (conv_name,
+                         "kernel" if p == "weight" else "bias"), tf
+    return prefix + (norm_name, "scale" if p == "weight" else "bias"), \
+        _identity
+
+
+def _hcma_ss2d(prefix, rest):
+    m = re.fullmatch(
+        r"(x_proj_weight|dt_projs_weight|dt_projs_bias|A_logs|Ds)", rest)
+    if m:
+        return prefix + (m.group(1),), _identity
+    m = re.fullmatch(r"(in_proj|out_proj)\.weight", rest)
+    if m:
+        return prefix + (m.group(1), "kernel"), _dense_w
+    m = re.fullmatch(r"conv2d\.(weight|bias)", rest)
+    if m:
+        p = m.group(1)
+        return prefix + (f"conv2d_{'kernel' if p == 'weight' else 'bias'}",
+                         ), _conv2d_dw_tf if p == "weight" else _identity
+    m = re.fullmatch(r"out_norm\.(weight|bias)", rest)
+    if m:
+        return prefix + ("out_norm",
+                         "scale" if m.group(1) == "weight" else "bias"), \
+            _identity
+    return None
+
+
+def _hcma_dir_mamba(prefix, rest):
+    """DirectionalMamba: .mamba = VSSBlock (down/ln_1/self_attention/up),
+    .slice_attention = AxialAttention3D."""
+    m = re.fullmatch(r"mamba\.(down|up)\.(weight|bias)", rest)
+    if m:
+        sub, p = m.group(1), m.group(2)
+        return prefix + ("vssb", sub,
+                         "kernel" if p == "weight" else "bias"), \
+            _dense_w if p == "weight" else _identity
+    m = re.fullmatch(r"mamba\.ln_1\.(weight|bias)", rest)
+    if m:
+        return prefix + ("vssb", "ln_1",
+                         "scale" if m.group(1) == "weight" else "bias"), \
+            _identity
+    m = re.fullmatch(r"mamba\.self_attention\.(.+)", rest)
+    if m:
+        return _hcma_ss2d(prefix + ("vssb", "ss2d"), m.group(1))
+    m = re.fullmatch(r"slice_attention\.(query|key|value)_conv\."
+                     r"(weight|bias)", rest)
+    if m:
+        qkv = {"query": "q", "key": "k", "value": "v"}[m.group(1)]
+        p = m.group(2)
+        return prefix + ("slice_attn", qkv,
+                         "kernel" if p == "weight" else "bias"), \
+            _conv1x1_w if p == "weight" else _identity
+    if rest == "slice_attention.pos_embed":
+        return prefix + ("slice_attn", "pos_embed"), _pos_embed_tf
+    if rest == "slice_attention.gamma":
+        return prefix + ("slice_attn", "gamma"), lambda w: w.reshape(())
+    return None
+
+
+def _map_hcma_key(key: str) -> Optional[Tuple[Tuple[str, ...], Any]]:
+    # stem
+    m = re.fullmatch(r"encoders\.0\.(.+)", key)
+    if m:
+        got = _hcma_dense_conv(("stem",), m.group(1))
+        if got:
+            return got
+        raise KeyError(f"unmapped HCMA stem key: {key}")
+    # encoder Down stages
+    m = re.fullmatch(r"encoders\.(\d+)\.(.+)", key)
+    if m:
+        d, rest = f"down_{int(m.group(1)) - 1}", m.group(2)
+        m2 = re.fullmatch(r"downsample_resnext\.(.+)", rest)
+        if m2:
+            got = _hcma_resnext((d, "down_resnext"), m2.group(1))
+            if got:
+                return got
+        m2 = re.fullmatch(r"extractor\.(\d+)\.(.+)", rest)
+        if m2:
+            got = _hcma_dense_conv((d, f"extract_{m2.group(1)}"),
+                                   m2.group(2))
+            if got:
+                return got
+        m2 = re.fullmatch(r"tmamba\.fusion\.0\.(weight|bias)", rest)
+        if m2:
+            p = m2.group(1)
+            return (d, "tmamba", "fusion",
+                    "kernel" if p == "weight" else "bias"), \
+                _conv1x1_w if p == "weight" else _identity
+        m2 = re.fullmatch(r"tmamba\.(mamba_[xyz])\.(.+)", rest)
+        if m2:
+            got = _hcma_dir_mamba((d, "tmamba", m2.group(1)), m2.group(2))
+            if got:
+                return got
+        raise KeyError(f"unmapped HCMA encoder key: {key}")
+    # decoder Up stages
+    m = re.fullmatch(r"decoders\.(\d)\.extractor\.0\.([01])\.(weight|bias)",
+                     key)
+    if m:
+        u, j, p = f"up_{m.group(1)}", m.group(2), m.group(3)
+        if j == "0":
+            return (u, "adapt", "kernel" if p == "weight" else "bias"), \
+                _conv1x1_w if p == "weight" else _identity
+        return (u, "n", "scale" if p == "weight" else "bias"), _identity
+    m = re.fullmatch(r"decoders\.(\d)\.up_transpose\.(weight|bias)", key)
+    if m:
+        u, p = f"up_{m.group(1)}", m.group(2)
+        s = _HCMA_DEC_STRIDES[int(m.group(1))]
+        return (u, "up", "kernel" if p == "weight" else "bias"), \
+            _hcma_convT(s) if p == "weight" else _hcma_convT_b(s)
+    # heads: only out[depth-1] is live in predict mode
+    m = re.fullmatch(r"out\.(\d)\.conv1\.(weight|bias)", key)
+    if m:
+        if m.group(1) != "3":
+            return None  # dead heads (predict mode uses out[-1] only)
+        p = m.group(2)
+        return ("out_3", "kernel" if p == "weight" else "bias"), \
+            _conv1x1_w if p == "weight" else _identity
+    raise KeyError(f"unmapped HCMA key: {key}")
+
+
 _CONVERTERS = {"MedNeXt": _map_mednext_key,
                "SlimUNETR": _make_slim_mapper(),
                "SegFormer": _map_segformer_key,
@@ -1246,7 +1435,8 @@ _CONVERTERS = {"MedNeXt": _map_mednext_key,
                "SuperLightNet": _map_superlightnet_key,
                "VSmTrans": _map_vsmtrans_key,
                "UKAN": _map_ukan_key,
-               "URWKV": _map_urwkv_key}
+               "URWKV": _map_urwkv_key,
+               "HCMA": _map_hcma_key}
 
 
 def convert_zoo_state_dict(model_name: str, state_dict: Dict[str, Any],

@@ -87,11 +87,17 @@ class DenseConvBlock(nn.Module):
 
 class ResNeXtConv(nn.Module):
     """ResNeXtConv (``HCMA.py:990-1047``): 1×1 expand → grouped 3³ (groups
-    = in_channels) → 1×1 project, IN(affine)+LeakyReLU after each."""
+    = in_channels) → 1×1 project, IN(affine)+LeakyReLU after each.
+
+    ``residual=False`` reproduces a reference quirk: ``Down`` passes its
+    stride as a TUPLE, so the reference's ``self.stride == 1`` residual
+    guard (``HCMA.py:1046``) is False even for stride (1,1,1) — the
+    downsample ResNeXt never adds its residual."""
 
     out_channels: int
     stride: int = 1
     expand_rate: int = 2
+    residual: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -105,7 +111,7 @@ class ResNeXtConv(nn.Module):
         y = _lrelu(GroupNorm(num_groups=y.shape[-1], name="n2")(y))
         y = nn.Dense(self.out_channels, kernel_init=he_normal, name="pw2")(y)
         y = _lrelu(GroupNorm(num_groups=self.out_channels, name="n3")(y))
-        if c == self.out_channels and self.stride == 1:
+        if self.residual and c == self.out_channels and self.stride == 1:
             y = y + res
         return y
 
@@ -200,7 +206,8 @@ class SS2D(nn.Module):
 
         out = (y[0] + jnp.flip(y[2], axis=1) + t_back(y[1])
                + t_back(jnp.flip(y[3], axis=1)))
-        out = LayerNorm(name="out_norm")(out.reshape(b, h, w, d_inner))
+        # reference out_norm is a default nn.LayerNorm -> eps 1e-5
+        out = LayerNorm(eps=1e-5, name="out_norm")(out.reshape(b, h, w, d_inner))
         out = out * nn.silu(z)
         out = nn.Dense(self.d_model, use_bias=False, kernel_init=he_normal,
                        name="out_proj")(out)
@@ -329,7 +336,8 @@ class Down(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         c = x.shape[-1]
         x = avg_pool3d(x, self.stride) + \
-            ResNeXtConv(c, stride=self.stride, name="down_resnext")(x)
+            ResNeXtConv(c, stride=self.stride, residual=False,
+                        name="down_resnext")(x)
         x = TriplaneMamba(feature_size=self.feature_size,
                           name="tmamba")(x, deterministic)
         x_down = x
