@@ -76,7 +76,10 @@ def functools_reduce_outer(axes_maps: List[np.ndarray]) -> np.ndarray:
 # its output channel count costs ~100 ms of pure Python per volume (the
 # full flax model is retraced), and re-uploading the importance map is a
 # fresh H2D transfer. Both depend only on static keys, so memoize them.
-# Keys hold predictor references exactly like the lru_cache below does.
+# Keys hold predictor references exactly like the lru_cache below does,
+# and the cache is bounded (FIFO) so per-volume lambdas (which defeat
+# caching anyway) cannot pin an unbounded set of closures + params.
+_CACHE_MAX = 16
 _OUT_CHANNELS_CACHE: dict = {}
 _IMPORTANCE_CACHE: dict = {}
 
@@ -90,6 +93,8 @@ def _probe_out_channels(predictor, params, tiles_shape) -> int:
             k = jax.eval_shape(predictor, params, tiles_shape).shape[-1]
         else:
             k = jax.eval_shape(predictor, tiles_shape).shape[-1]
+        while len(_OUT_CHANNELS_CACHE) >= _CACHE_MAX:
+            _OUT_CHANNELS_CACHE.pop(next(iter(_OUT_CHANNELS_CACHE)))
         _OUT_CHANNELS_CACHE[key] = int(k)
     return int(k)
 
@@ -197,6 +202,11 @@ def sliding_window_inference(
         — instead of a host loop of per-batch dispatches.
 
     Returns (B, D, H, W, K) blended logits.
+
+    Note: the probe/compile caches key on the *identity* of ``predictor``.
+    Pass the same callable across volumes (hoist it out of the loop); a
+    fresh lambda per volume gets zero cache hits and a recompile each
+    time in the one-program path.
     """
     b, *spatial, c = inputs.shape
     roi = [int(r) for r in roi_size]

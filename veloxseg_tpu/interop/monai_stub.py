@@ -99,7 +99,11 @@ def _build_modules():
     class Convolution(nn.Sequential):
         """conv_only subset of monai Convolution (dynunet usage): a
         Sequential holding one (transposed) conv under the name "conv".
-        ``padding`` defaults to monai's same-padding (k-1)//2 for s=1."""
+        ``padding`` defaults to monai's same_padding (k-1)//2
+        (stride-independent); transposed convs must pass it explicitly
+        (monai's transposed default also involves output_padding logic the
+        stub does not reproduce — every in-tree caller routes through
+        get_conv_layer, which supplies both)."""
 
         def __init__(self, spatial_dims=3, in_channels=1, out_channels=1,
                      strides=1, kernel_size=3, act=None, norm=None,
@@ -109,11 +113,11 @@ def _build_modules():
             super().__init__()
             assert conv_only, "stub Convolution supports conv_only=True"
             if padding is None:
+                assert not is_transposed, \
+                    "stub Convolution: transposed conv needs explicit padding"
                 k = kernel_size if isinstance(kernel_size, int) \
                     else kernel_size[0]
-                s = strides if isinstance(strides, int) else strides[0]
-                padding = max((k - s + 1) // 2, 0) if not is_transposed \
-                    else 0
+                padding = (k - 1) // 2
             if is_transposed:
                 conv = nn.ConvTranspose3d(
                     in_channels, out_channels, kernel_size,

@@ -71,10 +71,16 @@ def make_sharded_train_step(mesh, loss_obj: CompositeLoss,
         state = state.apply_gradients(grads=grads)
         aux = {"loss": loss}
         if with_metrics:
-            aux.update(segmentation_metrics(
-                labels, pred_from_logits(heads[0])))
             if deep_metric_heads:
-                aux["deep"] = tuple(deep_metrics(heads, labels))
+                # compute head-0 metrics once; the deep tuple keeps head 0
+                # (the reference's show_deep_metrics prints it with pix)
+                per_head = deep_metrics(heads, labels)
+                aux.update({k: v for k, v in per_head[0].items()
+                            if k not in ("pred_pix", "label_pix")})
+                aux["deep"] = tuple(per_head)
+            else:
+                aux.update(segmentation_metrics(
+                    labels, pred_from_logits(heads[0])))
         return state, aux
 
     def step_in_scope(state, inputs, labels, rng):

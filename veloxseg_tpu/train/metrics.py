@@ -70,17 +70,18 @@ def deep_metrics(outputs: Sequence[jnp.ndarray], labels: jnp.ndarray
 
     Mirrors ``show_deep_metrics`` (``utils/metric/metrics.py:6-25``) minus
     the string formatting, which belongs to the logger. Each head's dict
-    also carries the foreground voxel counts the reference prints
-    (``pix:{output.sum()}/{labels.sum()}``).
+    also carries the ``pix:{output.sum()}/{labels.sum()}`` counts the
+    reference prints — note these SUM CLASS INDICES (so for multi-class
+    labels they are not voxel counts); reproduced as-is for log parity.
     """
     if not isinstance(outputs, (list, tuple)):
         outputs = [outputs]
     per_head = []
-    label_pix = jnp.sum((labels != 0).astype(jnp.int32))
+    label_pix = jnp.sum(labels.astype(jnp.int32))
     for o in outputs:
         pred = pred_from_logits(o)
         m = segmentation_metrics(labels, pred)
-        m["pred_pix"] = jnp.sum((pred != 0).astype(jnp.int32))
+        m["pred_pix"] = jnp.sum(pred.astype(jnp.int32))
         m["label_pix"] = label_pix
         per_head.append(m)
     return per_head
