@@ -82,8 +82,8 @@ def workspace(tmp_path_factory):
 
 def test_train_cli_on_mesh(workspace):
     """`run_train --mesh data=2,spatial=2` end-to-end on the virtual CPU
-    mesh — the multi-device path from the CLI (VERDICT r1 item 3). Uses the
-    2-level micro model so the GSPMD compile stays small on one core."""
+    mesh — the multi-device path from the CLI (VERDICT r1 item 3). Uses
+    the dryrun's full-depth slim model (4 levels at 32³)."""
     import json as _json
     import os as _os
 
@@ -95,9 +95,9 @@ def test_train_cli_on_mesh(workspace):
         for k, v in micro_config().to_dict().items()}}
     with open(paths["train.json"]) as f:
         tc = _json.load(f)
-    tc["patch_size"] = {"AutoPETII": [16, 16, 16]}
+    tc["patch_size"] = {"AutoPETII": [32, 32, 32]}
     tc["epochs"] = 1
-    tc["deep_Loss_weight"] = [1, 1]
+    tc["deep_Loss_weight"] = [1, 1, 1, 1]
     tc["save_path"] = _os.path.join(root, "save_mesh")
     mpaths = {}
     for name, data in (("train_mesh.json", tc), ("models_mesh.json", micro)):
@@ -159,16 +159,25 @@ def test_train_then_test_cli(workspace):
 
 def test_train_async_checkpoint_and_resume(workspace):
     """Async (Orbax) checkpointing from the CLI: directory checkpoints
-    with the reference taxonomy, then resume from one (VERDICT r1 item 6)."""
+    with the reference taxonomy, then resume from one (VERDICT r1 item 6).
+    Uses a 2-level 16³ model: this test trains twice single-device, so it
+    stays on the smallest config that exercises the checkpoint path."""
     import json as _json
     import os as _os
 
-    from veloxseg_tpu.parallel.dryrun import micro_config
-
     root, paths = workspace
     micro = {"VeloxSeg": {
-        k: (list(v) if isinstance(v, tuple) else v)
-        for k, v in micro_config().to_dict().items()}}
+        "input_size": [16, 16, 16], "patch_size": 4, "in_ch": [1, 1],
+        "n_classes": 2, "base_ch": 4, "attn_base_ch": 4,
+        "conv_depths": [1, 1], "kernel_sizes": [3],
+        "min_dim_group": [4, 4], "conv_expansion_factor": [2, 2],
+        "depths": [1, 1],
+        "min_big_window_sizes": [[2, 2, 2], [2, 2, 2]],
+        "min_small_window_sizes": [[1, 1, 1], [1, 1, 1]],
+        "min_dim_head": [4, 4], "scale_factors": [2, 2],
+        "num_heads": [1, 1], "ffn_expansion_ratio": [2, 2],
+        "spatial_dim": 3,
+    }}
     with open(paths["train.json"]) as f:
         tc = _json.load(f)
     tc["patch_size"] = {"AutoPETII": [16, 16, 16]}

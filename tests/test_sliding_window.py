@@ -106,6 +106,24 @@ def test_single_program_params_path_matches_legacy():
                                atol=1e-5)
 
 
+def test_mesh_sharded_matches_single_device():
+    # VERDICT r2 item 5: tile batch sharded over the mesh 'data' axis in
+    # the one-program path must reproduce the single-device result.
+    import jax
+    from veloxseg_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(jax.devices()[:4], data=4, spatial=1)
+    x = jnp.asarray(np.random.default_rng(6).standard_normal(
+        (1, 100, 64, 64, 2)).astype(np.float32))
+    w = jnp.asarray([[0.5, -1.0], [2.0, 0.25]], jnp.float32)
+    pred = lambda p, t: t @ p  # noqa: E731 — shared identity for caching
+    single = sliding_window_inference(
+        x, (64, 64, 64), 2, pred, 0.25, params=w)
+    sharded = sliding_window_inference(
+        x, (64, 64, 64), 2, pred, 0.25, params=w, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               atol=1e-5)
+
+
 def test_single_program_gaussian_identity():
     x = jnp.asarray(np.random.default_rng(5).standard_normal(
         (1, 100, 64, 64, 2)).astype(np.float32))

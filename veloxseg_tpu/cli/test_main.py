@@ -26,6 +26,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--select_modal", type=int, default=None)
     parser.add_argument("--use_hd95", type=int, default=None)
     parser.add_argument("--sw_batch_size", type=int, default=4)
+    parser.add_argument(
+        "--mesh", type=str, default=None,
+        help="SPMD device mesh for sliding-window inference: 'auto' or "
+             "'data=N[,spatial=M]'. Tiles shard over the data axis. "
+             "Default: single device.")
     return parser
 
 

@@ -107,6 +107,10 @@ def run_inference(args, train_config: dict, model_config: dict,
     predictor = lambda p, t: model.apply({"params": p}, t, train=False)
     overlap = test_config.get("sliding_window", {}).get("overlap", 0.25)
     use_hd95 = bool(getattr(args, "use_hd95", 0))
+    from ..parallel.mesh import parse_mesh_spec
+    mesh = parse_mesh_spec(getattr(args, "mesh", None))
+    if mesh is not None:
+        logger.info(f"Sliding-window mesh: {dict(mesh.shape)}")
 
     rows: List[Dict] = []
     pred_dir = test_config.get("result_pred_path", "./result/prediction")
@@ -125,7 +129,7 @@ def run_inference(args, train_config: dict, model_config: dict,
             jnp.asarray(x[None]), patch_size,
             sw_batch_size=getattr(args, "sw_batch_size", 4),
             predictor=predictor, overlap=overlap, mode="constant",
-            cpu_accumulate=big, params=params)
+            cpu_accumulate=big, params=params, mesh=mesh)
         logits = np.asarray(logits[0])
         pred = np.argmax(logits, axis=-1).astype(np.int32)
         elapsed = time.time() - t0

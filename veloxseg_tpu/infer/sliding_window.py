@@ -112,7 +112,7 @@ def _importance_device(mode: str, roi: Tuple[int, ...],
 @functools.lru_cache(maxsize=16)
 def _volume_runner(predictor, roi: Tuple[int, ...], sw_batch_size: int,
                    b: int, c: int, k: int, padded_spatial: Tuple[int, ...],
-                   overlap: float):
+                   overlap: float, mesh=None):
     """One jitted XLA program for a whole volume: ``lax.scan`` over tile
     batches, each doing extract → predict → blend-accumulate on device.
 
@@ -121,6 +121,11 @@ def _volume_runner(predictor, roi: Tuple[int, ...], sw_batch_size: int,
     makes dispatch, not compute, the bottleneck. Params and the importance
     map are explicit arguments so nothing large is inlined into the HLO as
     a constant (multi-MB constants stall remote compiles).
+
+    With a ``mesh`` the tile batch is sharded over the ``data`` axis
+    (tiles are independent — pure data parallelism; XLA all-gathers the
+    logits before the blend scan, which is bandwidth-trivial next to the
+    model forward). The volume and accumulators stay replicated.
 
     Cached on (predictor, shape signature): drivers build their predictor
     once per model, so repeat volumes of the same shape reuse the
@@ -136,6 +141,10 @@ def _volume_runner(predictor, roi: Tuple[int, ...], sw_batch_size: int,
         nb, sw_batch_size, ndim)
     val = (np.arange(len(all_origins)) < n_real).astype(
         np.float32).reshape(nb, sw_batch_size)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        tile_sharding = NamedSharding(mesh, P("data"))
+        replicated = NamedSharding(mesh, P())
 
     def run(params, inputs, imp):
         out_sum = jnp.zeros((b, *padded_spatial, k), jnp.float32)
@@ -165,7 +174,13 @@ def _volume_runner(predictor, roi: Tuple[int, ...], sw_batch_size: int,
             ob, vb = xs
             tiles = jax.vmap(extract)(ob).reshape(
                 (-1, *roi, inputs.shape[-1]))
+            if mesh is not None:
+                tiles = jax.lax.with_sharding_constraint(
+                    tiles, tile_sharding)
             logits = predictor(params, tiles).astype(jnp.float32)
+            if mesh is not None:
+                logits = jax.lax.with_sharding_constraint(
+                    logits, replicated)
             logits = logits.reshape((sw_batch_size, b, *roi, k))
             return jax.lax.scan(tile_body, carry, (logits, ob, vb))[0], None
 
@@ -186,6 +201,7 @@ def sliding_window_inference(
     mode: str = "constant",
     cpu_accumulate: bool = False,
     params=None,
+    mesh=None,
 ) -> jnp.ndarray:
     """Tile, predict, blend.
 
@@ -200,6 +216,12 @@ def sliding_window_inference(
         ``cpu_accumulate``) the whole volume runs as ONE jitted program —
         tile extraction, model forward and blending inside a ``lax.scan``
         — instead of a host loop of per-batch dispatches.
+      mesh: optional ``jax.sharding.Mesh`` with a ``data`` axis. Shards
+        the tile batch over ``data`` in the one-program path (the
+        forward is data-parallel over tiles; blending stays replicated).
+        ``sw_batch_size`` is rounded up so tiles divide the axis. Use
+        ``data=N`` meshes for inference — a ``spatial`` axis merely
+        replicates tile compute. Ignored with ``cpu_accumulate``.
 
     Returns (B, D, H, W, K) blended logits.
 
@@ -210,6 +232,14 @@ def sliding_window_inference(
     """
     b, *spatial, c = inputs.shape
     roi = [int(r) for r in roi_size]
+    if mesh is not None and params is not None and not cpu_accumulate:
+        # Tile batch (sw_batch_size·b) must divide the data axis evenly;
+        # rounding sw_batch_size to a multiple of the axis guarantees it.
+        n_data = mesh.shape["data"]
+        if (sw_batch_size * b) % n_data:
+            sw_batch_size = -(-sw_batch_size // n_data) * n_data
+    else:
+        mesh = None
 
     # Pad volumes smaller than the ROI (symmetric, zeros — MONAI parity).
     pads = []
@@ -236,8 +266,16 @@ def sliding_window_inference(
 
     if params is not None and not cpu_accumulate:
         run = _volume_runner(predictor, tuple(roi), sw_batch_size, b, c,
-                             int(k), tuple(padded_spatial), overlap)
-        blended = run(params, inputs, imp)
+                             int(k), tuple(padded_spatial), overlap,
+                             mesh=mesh)
+        if mesh is not None:
+            # Trace under the mesh scope so PWA attention keeps its fused
+            # Pallas kernel on via shard_map (nn/pwa.py:240-256).
+            from ..ops import pwa_attention
+            with pwa_attention.spmd_scope(mesh):
+                blended = run(params, inputs, imp)
+        else:
+            blended = run(params, inputs, imp)
         if any(p != (0, 0) for p in pads):
             slices = tuple(slice(p[0], p[0] + s)
                            for p, s in zip(pads, spatial))

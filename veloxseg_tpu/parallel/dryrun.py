@@ -5,15 +5,16 @@ forced *before* jax initializes (``__graft_entry__.dryrun_multichip``
 spawns it that way in a subprocess, so it works even when the calling
 process has already initialized a TPU backend).
 
-The model is a **2-level micro VeloxSeg** — the real model class, the real
-composite loss (CE+Dice deep supervision, MSE recon, Gram SDKT), the real
-optimizer and the real (data × spatial) shardings of
-:mod:`veloxseg_tpu.parallel.sharded_step` — shrunk so that the 8-device
-GSPMD compile finishes in well under five minutes on a single CPU core
-(the full 4-level model takes >4 min to compile *single-device* on one
-core). Sharding semantics don't depend on depth: the step still exercises
-the gradient all-reduce over ``data`` and conv halo exchange plus
-window-attention resharding over ``spatial``.
+The model is a **full-depth (4-level) VeloxSeg** at 32³ with slim
+channels — the real model class, the real composite loss (CE+Dice deep
+supervision, MSE recon, Gram SDKT), the real optimizer and the real
+(data × spatial) shardings of
+:mod:`veloxseg_tpu.parallel.sharded_step` — sized so the 8-device GSPMD
+compile finishes in a few minutes on a single CPU core. The step
+exercises the gradient all-reduce over ``data``, conv halo exchange plus
+window-attention resharding over ``spatial``, and every level of the
+encoder/decoder. A second leg runs sliding-window inference with the
+tile batch sharded over ``data`` (``infer/sliding_window.py``).
 """
 
 from __future__ import annotations
@@ -45,27 +46,18 @@ def _force_cpu(n_devices: int) -> None:
 
 
 def micro_config():
-    """2-level micro VeloxSeg config (see module docstring)."""
+    """Full-depth slim VeloxSeg config (see module docstring)."""
     from ..core.config import VeloxSegConfig
 
     return VeloxSegConfig(
-        input_size=(16, 16, 16),
+        input_size=(32, 32, 32),
         patch_size=4,
         in_ch=(1, 1),          # keeps the multimodal cross-attention path
         n_classes=2,
-        base_ch=4,
-        attn_base_ch=4,
-        conv_depths=(1, 1),
-        kernel_sizes=(3,),
-        min_dim_group=(4, 4),
-        conv_expansion_factor=(2, 2),
-        depths=(1, 1),
-        min_big_window_sizes=((2, 2, 2), (2, 2, 2)),
-        min_small_window_sizes=((1, 1, 1), (1, 1, 1)),
-        min_dim_head=(4, 4),
-        scale_factors=(2, 2),
-        num_heads=(1, 1),
-        ffn_expansion_ratio=(2, 2),
+        base_ch=8,
+        attn_base_ch=8,
+        depths=(1, 1, 1, 1),
+        min_big_window_sizes=((2, 2, 2), (2, 2, 2), (2, 2, 2), (1, 1, 1)),
     )
 
 
@@ -98,8 +90,14 @@ def run(n_devices: int) -> float:
     if batch % data_size:
         batch = data_size
 
-    x = jnp.zeros((batch, *cfg.input_size, sum(cfg.in_ch)), jnp.float32)
-    y = jnp.zeros((batch, *cfg.input_size), jnp.int32)
+    # Random data, not zeros: the Gram feature loss normalizes by feature
+    # norms, so an all-zero batch produces NaN *gradients* (finite loss)
+    # and would poison the params the inference leg consumes.
+    kx, ky = jax.random.split(jax.random.PRNGKey(3))
+    x = jax.random.normal(
+        kx, (batch, *cfg.input_size, sum(cfg.in_ch)), jnp.float32)
+    y = jax.random.randint(
+        ky, (batch, *cfg.input_size), 0, cfg.n_classes, jnp.int32)
 
     variables = model.init(
         {"params": jax.random.PRNGKey(0),
@@ -124,7 +122,25 @@ def run(n_devices: int) -> float:
     jax.block_until_ready(aux["loss"])
     loss = float(aux["loss"])
     print(f"dryrun_multichip({n_devices}): mesh={dict(mesh.shape)} "
-          f"loss={loss:.4f}")
+          f"levels={cfg.num_levels} loss={loss:.4f}")
+
+    # Leg 2: sliding-window inference, tile batch sharded over 'data'.
+    from ..infer.sliding_window import sliding_window_inference
+    predictor = lambda p, t: model.apply(  # noqa: E731
+        {"params": p}, t, train=False)
+    vol = jax.random.normal(
+        jax.random.PRNGKey(4),
+        (1, cfg.input_size[0] + cfg.input_size[0] // 2,
+         *cfg.input_size[1:], sum(cfg.in_ch)), jnp.float32)
+    logits = sliding_window_inference(
+        vol, cfg.input_size, sw_batch_size=2, predictor=predictor,
+        overlap=0.25, params=jax.device_get(state.params), mesh=mesh)
+    jax.block_until_ready(logits)
+    if not bool(jnp.isfinite(logits).all()):
+        raise RuntimeError("sharded sliding-window produced non-finite "
+                           "logits")
+    print(f"dryrun_multichip({n_devices}): sharded sliding-window "
+          f"out={tuple(logits.shape)} ok")
     return loss
 
 

@@ -88,3 +88,31 @@ def make_sharded_train_step(mesh, loss_obj: CompositeLoss,
             return step(state, inputs, labels, rng)
 
     return step_in_scope
+
+
+def make_sharded_eval_step(mesh, apply_fn, spatial_shard: bool = True):
+    """Jitted SPMD eval forward with mesh shardings baked in.
+
+    ``step(params, inputs) -> (preds, logits)``; the batch shards over
+    ``data`` (and optionally leading-spatial over ``spatial``) so an
+    8-chip pod validates 8-way instead of crawling at single-chip speed;
+    outputs come back replicated for the host-side metric reduction.
+    Traced under ``spmd_scope`` so the fused eval attention kernel stays
+    on via shard_map (nn/pwa.py:240-256).
+    """
+    from ..ops import pwa_attention
+
+    repl = replicate_sharding(mesh)
+    x_shard = batch_sharding(mesh, spatial_shard)
+
+    @functools.partial(jax.jit, in_shardings=(repl, x_shard),
+                       out_shardings=(repl, repl))
+    def step(params, inputs):
+        logits = apply_fn({"params": params}, inputs, train=False)
+        return jnp.argmax(logits, axis=-1), logits
+
+    def step_in_scope(params, inputs):
+        with pwa_attention.spmd_scope(mesh):
+            return step(params, inputs)
+
+    return step_in_scope

@@ -231,6 +231,15 @@ def run_train(args, train_config: dict, model_config: dict) -> dict:
         step = train_step_fn(loss_obj, compute_dtype=jnp.bfloat16,
                              deep_metric_heads=show_deep)
     eval_step = eval_step_fn(model.apply)
+    sharded_eval = None
+    if mesh is not None:
+        # Validation shards over the mesh too (VERDICT r2 item 6: an
+        # unsharded val loop crawls at single-chip speed on a pod). The
+        # single-device eval_step remains the fallback for a ragged tail
+        # batch that does not divide the data axis.
+        from ..parallel.sharded_step import make_sharded_eval_step
+        sharded_eval = make_sharded_eval_step(mesh, model.apply,
+                                              spatial_shard=spatial_shard)
 
     try:
         from torch.utils.tensorboard import SummaryWriter
@@ -342,7 +351,13 @@ def run_train(args, train_config: dict, model_config: dict) -> dict:
             vtotals = None
             vn = 0
             for xs, ys in val_loader:
-                pred, logits = eval_step(state.params, jnp.asarray(xs))
+                xs = np.asarray(xs)
+                if (sharded_eval is not None
+                        and xs.shape[0] % mesh.shape["data"] == 0):
+                    pred, logits = sharded_eval(
+                        state.params, shard_host_batch(xs, x_shard))
+                else:
+                    pred, logits = eval_step(state.params, jnp.asarray(xs))
                 y = jnp.asarray(ys)
                 if profile.binary_label:
                     m = {k: float(v) for k, v in
