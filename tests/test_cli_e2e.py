@@ -220,3 +220,38 @@ def test_train_async_checkpoint_and_resume(workspace):
         "--checkpoint_path", os.path.join(save_path, "0"),
     ])
     assert np.isfinite(result2["best_train_dice"])
+
+
+def test_speed_cli_device_loop(tmp_path, monkeypatch):
+    """`speed_test.py --devices default,cpu` — the reference's
+    [cuda, cpu] device loop (`speed_test.py:58-69`). Shrunk protocol
+    (tiny input, short windows) so the 1-core box finishes quickly."""
+    import json as _json
+
+    from veloxseg_tpu.cli import speed_main
+
+    micro = {"VeloxSeg": {
+        "input_size": [16, 16, 16], "patch_size": 4, "in_ch": [1, 1],
+        "n_classes": 2, "base_ch": 4, "attn_base_ch": 4,
+        "conv_depths": [1, 1], "kernel_sizes": [3],
+        "min_dim_group": [4, 4], "conv_expansion_factor": [2, 2],
+        "depths": [1, 1],
+        "min_big_window_sizes": [[2, 2, 2], [2, 2, 2]],
+        "min_small_window_sizes": [[1, 1, 1], [1, 1, 1]],
+        "min_dim_head": [4, 4], "scale_factors": [2, 2],
+        "num_heads": [1, 1], "ffn_expansion_ratio": [2, 2],
+        "spatial_dim": 3,
+    }}
+    cfg = tmp_path / "models.json"
+    cfg.write_text(_json.dumps(micro))
+    monkeypatch.setitem(speed_main.INPUT_SIZE, "AutoPETII", (16, 16, 16, 2))
+    monkeypatch.setattr(speed_main, "T_WARM", 0.1)
+    monkeypatch.setattr(speed_main, "T_TIMED", 0.3)
+    monkeypatch.setattr(speed_main, "MAX_BS", 2)
+
+    results = speed_main.main([
+        "--dataset", "AutoPETII", "--model_list", "VeloxSeg",
+        "--model_config", str(cfg), "--devices", "default,cpu"])
+    assert len(results) == 2
+    assert [r["device"] for r in results] == ["default", "cpu"]
+    assert all(r["throughput"] > 0 for r in results)

@@ -3,8 +3,11 @@
 Per model: find the max batch size by doubling up to 16 (OOM-guarded),
 warm up, then run a timed throughput loop in bf16 (the TPU analogue of the
 reference's fp16 autocast), and report params + an XLA FLOPs estimate
-(replacing thop). Runs on whatever device JAX selects (TPU here; CPU with
-``JAX_PLATFORMS=cpu``).
+(replacing thop). Like the reference's ``for device in [cuda, cpu]`` loop
+(``speed_test.py:58-69``), ``--devices default,cpu`` benches each model on
+the accelerator and then on host CPU (via ``jax.default_device`` — no
+re-platforming needed); the default is accelerator-only because a full
+17-model CPU sweep takes hours on a 1-core host.
 """
 
 from __future__ import annotations
@@ -48,7 +51,10 @@ def find_max_batch_size(fwd, params, input_shape) -> int:
 
 
 def bench_model(name: str, model_config: dict, input_shape,
-                use_bf16: bool = True):
+                use_bf16: bool = True, device=None):
+    if device is not None:
+        with jax.default_device(device):
+            return bench_model(name, model_config, input_shape, use_bf16)
     from ..models.registry import load_model
     model = load_model(name, model_config)
     x1 = jnp.zeros((1, *input_shape), jnp.float32)
@@ -94,7 +100,8 @@ def bench_model(name: str, model_config: dict, input_shape,
     except Exception:
         pass
 
-    dev = jax.devices()[0].platform
+    dev = next(iter(jnp.zeros(()).devices())).platform  # honors
+    # jax.default_device, unlike jax.devices()[0]
     print(f"{name} {dev} {throughput:.2f} images/s @ batch size {bs}")
     print(f"Params {n_params / 1e6} M")
     if flops:
@@ -111,6 +118,10 @@ def main(argv=None):
     parser.add_argument("--model_config", type=str, default=None,
                         help="model config JSON (defaults to config/"
                              "models_config_<dataset>.json)")
+    parser.add_argument("--devices", type=str, default="default",
+                        help="comma list of {default, cpu}: reference "
+                             "speed_test benches [cuda, cpu]; pass "
+                             "'default,cpu' to add the host-CPU pass")
     args = parser.parse_args(argv)
 
     cfg_path = args.model_config or \
@@ -123,17 +134,31 @@ def main(argv=None):
     else:
         keys = list(config.keys())
 
+    devices = []
+    for d in args.devices.split(","):
+        d = d.strip()
+        if d == "default":
+            devices.append(None)
+        elif d == "cpu":
+            devices.append(jax.devices("cpu")[0])
+        else:
+            raise ValueError(f"unknown device {d!r} (use default/cpu)")
+
     from ..models.registry import available_models
     results = []
-    for name in keys:
-        if name in SKIP:
-            continue
-        if name not in available_models():
-            print(f"{name}: not implemented yet, skipping")
-            continue
-        res = bench_model(name, config, INPUT_SIZE[args.dataset])
-        if res:
-            results.append(res)
+    for device in devices:
+        for name in keys:
+            if name in SKIP:
+                continue
+            if name not in available_models():
+                print(f"{name}: not implemented yet, skipping")
+                continue
+            res = bench_model(name, config, INPUT_SIZE[args.dataset],
+                              device=device)
+            if res:
+                res["device"] = ("default" if device is None
+                                 else device.platform)
+                results.append(res)
     return results
 
 

@@ -164,12 +164,22 @@ def train_fits_vmem(l: int) -> bool:
     return _full_train_fits(l) or _rowblock_size(l) > 0
 
 
+def _target_platform() -> str:
+    """Platform the next computation will actually run on: honors a
+    ``jax.default_device`` override (e.g. the speed CLI's host-CPU pass on
+    a TPU-backed process, where ``jax.default_backend()`` still says
+    "tpu" but Pallas would be lowered for CPU and refuse)."""
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return getattr(dev, "platform", str(dev))
+    return jax.default_backend()
+
+
 def window_attention(q, k, v, bias, scale: float) -> jnp.ndarray:
     """Fused on TPU, einsum elsewhere. Deterministic (no attn dropout) —
     callers that need weight dropout use :func:`window_attention_train`
     or the XLA path in nn/pwa.py."""
-    platform = jax.default_backend()
-    on_tpu = platform == "tpu"
+    on_tpu = _target_platform() == "tpu"
     if (on_tpu or _FORCE_INTERPRET) and eval_fits_vmem(q.shape[-2]):
         try:
             return window_attention_pallas(q, k, v, bias, scale,
@@ -708,7 +718,7 @@ def set_force_interpret(enabled: bool) -> None:
 
 
 def force_interpret() -> bool:
-    return _FORCE_INTERPRET and jax.default_backend() != "tpu"
+    return _FORCE_INTERPRET and _target_platform() != "tpu"
 
 
 @contextlib.contextmanager
@@ -736,5 +746,5 @@ def train_fused_enabled(tokens: int = 0) -> bool:
     levels whose windows exceed every fused backward's VMEM fit stay on
     the XLA path."""
     return (_TRAIN_FUSED
-            and (jax.default_backend() == "tpu" or force_interpret())
+            and (_target_platform() == "tpu" or force_interpret())
             and (tokens == 0 or train_fits_vmem(tokens)))

@@ -145,8 +145,8 @@ def wkv(w, u, k, v):
 
 
 def _dispatch(w, u, k, v):
-    platform = jax.devices()[0].platform
-    if platform == "tpu":
+    from .pwa_attention import _target_platform
+    if _target_platform() == "tpu":
         try:
             return wkv_pallas(w, u, k, v)
         except Exception:
