@@ -3,6 +3,7 @@
 import math
 import os
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -161,3 +162,48 @@ class TestPatchLoader:
                               drop_last=False)
         total = sum(b[0].shape[0] for b in loader)
         assert total == 9 * 2
+
+
+class TestPrefetchToDevice:
+    """data/prefetch.py — device prefetch preserves batch order/content."""
+
+    def _batches(self, n=5):
+        rng = np.random.default_rng(0)
+        return [(rng.normal(size=(2, 4, 4, 4, 2)).astype(np.float32),
+                 rng.integers(0, 2, size=(2, 4, 4, 4)).astype(np.int32))
+                for _ in range(n)]
+
+    @pytest.mark.parametrize("size", [0, 1, 2, 7])
+    def test_order_and_content(self, size):
+        from veloxseg_tpu.data.prefetch import prefetch_to_device
+        batches = self._batches()
+        out = list(prefetch_to_device(iter(batches), size=size))
+        assert len(out) == len(batches)
+        for (hx, hy), (dx, dy) in zip(batches, out):
+            assert isinstance(dx, jnp.ndarray) and isinstance(dy, jnp.ndarray)
+            np.testing.assert_array_equal(np.asarray(dx), hx)
+            np.testing.assert_array_equal(np.asarray(dy), hy)
+
+    def test_custom_put(self):
+        from veloxseg_tpu.data.prefetch import prefetch_to_device
+        batches = self._batches(3)
+        out = list(prefetch_to_device(
+            iter(batches), size=2,
+            put=lambda b: (jnp.asarray(b[0]) * 2, jnp.asarray(b[1]))))
+        np.testing.assert_allclose(np.asarray(out[1][0]),
+                                   batches[1][0] * 2, rtol=1e-6)
+
+    def test_lazy_consumption(self):
+        """Lookahead is bounded: pulling one batch must not drain the
+        whole source iterator."""
+        from veloxseg_tpu.data.prefetch import prefetch_to_device
+        pulled = []
+
+        def source():
+            for i, b in enumerate(self._batches(6)):
+                pulled.append(i)
+                yield b
+
+        it = prefetch_to_device(source(), size=2)
+        next(it)
+        assert len(pulled) <= 3

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..data.prefetch import prefetch_to_device
 from ..data.dataset import (PatchLoader, SegmentationDataset,
                             default_train_transform, default_val_transform)
 from ..models.registry import load_model
@@ -267,6 +268,21 @@ def run_train(args, train_config: dict, model_config: dict) -> dict:
             save_checkpoint(os.path.join(save_path, name + ".ckpt"),
                             state.params, state.opt_state, **kwargs)
 
+    # Host→device prefetch (``data/prefetch.py``): keep ``prefetch``
+    # batch transfers in flight so the PatchLoader's threaded decode and
+    # XLA's async H2D overlap the previous step's device compute — the
+    # TPU analogue of torch DataLoader workers + pin_memory async copies.
+    prefetch_size = int(train_config.get("prefetch", 2))
+    if mesh is not None:
+        def put_batch(batch):
+            xs, ys = batch
+            return (shard_host_batch(xs, x_shard),
+                    shard_host_batch(np.asarray(ys), y_shard))
+    else:
+        def put_batch(batch):
+            xs, ys = batch
+            return jnp.asarray(xs), jnp.asarray(ys)
+
     iteration = 0
     epochs = train_config["epochs"]
 
@@ -305,15 +321,11 @@ def run_train(args, train_config: dict, model_config: dict) -> dict:
         n_batches = 0
         pending = None  # 1-step-lagged aux fetch
         logger.info(f"\n*** Start Epoch {epoch + 1} Training ***\n")
-        for it, (xs, ys) in enumerate(train_loader):
+        for it, (x, y) in enumerate(
+                prefetch_to_device(train_loader, size=prefetch_size,
+                                   put=put_batch)):
             iteration += 1
             rng, step_key = jax.random.split(rng)
-            if mesh is not None:
-                x = shard_host_batch(xs, x_shard)
-                y = shard_host_batch(np.asarray(ys), y_shard)
-            else:
-                x = jnp.asarray(xs)
-                y = jnp.asarray(ys)
             state, aux = step(state, x, y, step_key)
             if pending is not None:
                 aux_f = _fetch_aux(pending)
