@@ -164,6 +164,59 @@ class TestPatchLoader:
         assert total == 9 * 2
 
 
+class TestDatasetCache:
+    """PatchLoader(cache=True) — decoded-volume cache semantics."""
+
+    def _loader(self, tmp_path, **kw):
+        from make_fixtures import make_autopet_fixtures
+        from veloxseg_tpu.data.dataset import (PatchLoader,
+                                               SegmentationDataset,
+                                               default_train_transform)
+        patterns = make_autopet_fixtures(str(tmp_path), n_cases=4)
+        ds = SegmentationDataset.from_globs(
+            {"pet": patterns["pet_path"], "ct": patterns["ct_path"],
+             "label": patterns["label_path"]}, "AutoPETII")
+        return PatchLoader(
+            ds.files, ["pet", "ct"],
+            default_train_transform((16, 16, 16), num_samples=2),
+            batch_size=2, num_samples=2, num_workers=2, shuffle=False,
+            **kw)
+
+    def test_cached_epoch_matches_uncached(self, tmp_path):
+        """Same seed → identical batches whether items come from the
+        cache (epoch 2) or from disk (cache off)."""
+        cached = self._loader(tmp_path, cache=True, seed=7)
+        plain = self._loader(tmp_path, cache=False, seed=7)
+        e1c = list(cached)          # fills the cache
+        assert len(cached._cache) == 4 and cached._cache_bytes > 0
+        e2c = list(cached)          # served from cache
+        list(plain)
+        e2p = list(plain)
+        for (xc, yc), (xp, yp) in zip(e2c, e2p):
+            np.testing.assert_array_equal(xc, xp)
+            np.testing.assert_array_equal(yc, yp)
+        assert len(e1c) == len(e2c)
+
+    def test_budget_bounds_cache(self, tmp_path):
+        loader = self._loader(tmp_path, cache=True, cache_max_bytes=1)
+        list(loader)
+        assert len(loader._cache) == 0  # nothing fits; loader still works
+
+    def test_transform_split_composes(self):
+        """PatchTransform.__call__ == random(deterministic(...))."""
+        from veloxseg_tpu.data.dataset import default_train_transform
+        rng_img = np.random.default_rng(0)
+        vols = [rng_img.standard_normal((30, 30, 30)).astype(np.float32)]
+        label = (rng_img.random((30, 30, 30)) > 0.95).astype(np.int32)
+        tf = default_train_transform((16, 16, 16), num_samples=2)
+        a = tf(vols, label, np.random.default_rng(3))
+        det = tf.deterministic(vols, label)
+        b = tf.random(det, np.random.default_rng(3))
+        for (xa, ya), (xb, yb) in zip(a, b):
+            np.testing.assert_array_equal(xa, xb)
+            np.testing.assert_array_equal(ya, yb)
+
+
 class TestPrefetchToDevice:
     """data/prefetch.py — device prefetch preserves batch order/content."""
 

@@ -68,6 +68,41 @@ def _pad_to_at_least(vol: np.ndarray, size: Sequence[int]) -> np.ndarray:
     return vol
 
 
+def fg_flat_indices(label: np.ndarray) -> np.ndarray:
+    """Flat indices of foreground (label > 0) voxels.
+
+    Precomputable per item once the label is padded — the MONAI
+    ``FgBgToIndicesd`` analogue for the positive branch of
+    :func:`rand_crop_by_pos_neg_label` (the loader caches this alongside
+    the decoded volumes so repeat epochs skip the full-volume scan).
+    """
+    return np.flatnonzero(label > 0)
+
+
+def _draw_bg_flat(label: np.ndarray, rng: np.random.Generator
+                  ) -> Optional[int]:
+    """Uniform draw over background (label == 0) voxels.
+
+    Rejection sampling: a uniform flat index conditioned on label == 0 is
+    exactly uniform over background voxels — same distribution as indexing
+    a materialized ``argwhere(label == 0)`` list, without building (or
+    caching) the huge per-volume index array. Falls back to the exact scan
+    when the volume is nearly all foreground; returns None if there is no
+    background at all.
+    """
+    flat = label.reshape(-1)
+    n = flat.size
+    for _ in range(8):
+        cand = rng.integers(0, n, size=64)
+        hits = cand[flat[cand] == 0]
+        if hits.size:
+            return int(hits[0])
+    bg = np.flatnonzero(flat == 0)
+    if bg.size == 0:
+        return None
+    return int(bg[rng.integers(bg.size)])
+
+
 def rand_crop_by_pos_neg_label(
     volumes: Sequence[np.ndarray],
     label: np.ndarray,
@@ -76,27 +111,43 @@ def rand_crop_by_pos_neg_label(
     pos: float = 1.0,
     neg: float = 1.0,
     rng: Optional[np.random.Generator] = None,
+    fg_flat: Optional[np.ndarray] = None,
+    assume_padded: bool = False,
 ) -> List[List[np.ndarray]]:
     """Draw ``num_samples`` patches balanced between pos/neg centers.
+
+    ``fg_flat``: precomputed :func:`fg_flat_indices` of the (padded)
+    label — pass it when the caller caches per-item state across epochs.
+    ``assume_padded``: skip the pad-to-patch-size step (the caller
+    already padded, e.g. from a cached deterministic transform head).
 
     Returns a list of samples; each sample is [*cropped_volumes,
     cropped_label].
     """
     rng = rng or np.random.default_rng()
     size = [int(s) for s in spatial_size]
-    volumes = [_pad_to_at_least(v, size) for v in volumes]
-    label = _pad_to_at_least(label, size)
+    if not assume_padded:
+        volumes = [_pad_to_at_least(v, size) for v in volumes]
+        label = _pad_to_at_least(label, size)
     shape = label.shape
 
-    fg = np.argwhere(label > 0)
-    bg = np.argwhere(label == 0)
+    if fg_flat is None:
+        fg_flat = fg_flat_indices(label)
+    no_bg = fg_flat.size == label.size
     p_pos = pos / (pos + neg)
 
     samples = []
     for _ in range(num_samples):
-        use_fg = (rng.random() < p_pos and len(fg) > 0) or len(bg) == 0
-        pool = fg if use_fg else bg
-        center = pool[rng.integers(len(pool))]
+        use_fg = (rng.random() < p_pos and fg_flat.size > 0) or no_bg
+        if use_fg:
+            center_flat = int(fg_flat[rng.integers(fg_flat.size)])
+        else:
+            drawn = _draw_bg_flat(label, rng)
+            if drawn is None:  # no background voxel exists
+                center_flat = int(fg_flat[rng.integers(fg_flat.size)])
+            else:
+                center_flat = drawn
+        center = np.unravel_index(center_flat, shape)
         starts = []
         for ax in range(3):
             half = size[ax] // 2

@@ -140,6 +140,17 @@ def run_train(args, train_config: dict, model_config: dict) -> dict:
     # second batch shape would retrace the step anyway).
     from ..parallel.mesh import parse_mesh_spec
     mesh = parse_mesh_spec(getattr(args, "mesh", None))
+    # In-RAM decoded-volume cache (MONAI CacheDataset analogue): epochs
+    # ≥ 2 skip NIfTI decode + foreground crop. Budget-bounded (default
+    # 40% of host RAM), so whole-body datasets degrade to re-decoding
+    # rather than OOM. "cache_dataset": false restores the reference's
+    # re-decode-every-epoch Dataset behavior.
+    cache = bool(train_config.get("cache_dataset", True))
+    cache_bytes = (int(train_config["cache_max_gb"] * (1 << 30))
+                   if "cache_max_gb" in train_config else None)
+    if cache:
+        logger.info("dataset cache enabled "
+                    f"(budget {cache_bytes or 'default 40% RAM'})")
     train_loader = PatchLoader(
         train_files, profile.modality_names,
         default_train_transform(
@@ -149,7 +160,8 @@ def run_train(args, train_config: dict, model_config: dict) -> dict:
         batch_size=train_config["batch_size"], num_samples=2,
         num_workers=num_workers, shuffle=True,
         modal_index=modal_index, binary_label=profile.binary_label,
-        drop_last=mesh is not None)
+        drop_last=mesh is not None, cache=cache,
+        cache_max_bytes=cache_bytes)
     val_loader = PatchLoader(
         val_files, profile.modality_names,
         default_val_transform(
@@ -157,7 +169,8 @@ def run_train(args, train_config: dict, model_config: dict) -> dict:
             use_foreground_crop=profile.use_foreground_crop),
         batch_size=train_config["batch_size"], num_samples=2,
         num_workers=num_workers, shuffle=False,
-        modal_index=modal_index, binary_label=profile.binary_label)
+        modal_index=modal_index, binary_label=profile.binary_label,
+        cache=cache, cache_max_bytes=cache_bytes)
 
     # Model / optimizer / loss --------------------------------------
     model = load_model(args.model_name, model_config)
