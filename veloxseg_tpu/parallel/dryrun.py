@@ -61,8 +61,8 @@ def micro_config():
     )
 
 
-def run(n_devices: int) -> float:
-    """Build the mesh, jit the full sharded train step, run one step."""
+def _build(n_devices: int, batch: int = None):
+    """Mesh + model + sharded step + placed batch (shared by run/bench)."""
     import jax
     import jax.numpy as jnp
 
@@ -86,9 +86,10 @@ def run(n_devices: int) -> float:
     model = VeloxSeg(cfg)
     assert cfg.input_size[0] % spatial_size == 0
 
-    batch = max(2, data_size)
+    if batch is None:
+        batch = max(2, data_size)
     if batch % data_size:
-        batch = data_size
+        raise ValueError(f"batch {batch} not divisible by data={data_size}")
 
     # Random data, not zeros: the Gram feature loss normalizes by feature
     # norms, so an all-zero batch produces NaN *gradients* (finite loss)
@@ -118,6 +119,15 @@ def run(n_devices: int) -> float:
     y = jax.device_put(y, label_sharding(mesh))
 
     step = make_sharded_train_step(mesh, loss_obj)
+    return mesh, cfg, model, state, step, x, y
+
+
+def run(n_devices: int) -> float:
+    """Build the mesh, jit the full sharded train step, run one step."""
+    import jax
+    import jax.numpy as jnp
+
+    mesh, cfg, model, state, step, x, y = _build(n_devices)
     state, aux = step(state, x, y, jax.random.PRNGKey(2))
     jax.block_until_ready(aux["loss"])
     loss = float(aux["loss"])
@@ -144,11 +154,51 @@ def run(n_devices: int) -> float:
     return loss
 
 
+def bench(n_devices: int, global_batch: int = 8, steps: int = 20) -> dict:
+    """Time the SPMD step at fixed global batch; print one JSON line.
+
+    On a shared-core CPU backend every virtual device runs on the same
+    host CPU, so the total compute per step is constant across mesh sizes
+    — ideal SPMD (sharding + GSPMD collectives) is **flat step time** vs
+    ``n_devices``. The reported ratio vs the 1-device step therefore
+    isolates partitioning/collective overhead, the only SPMD quantity
+    measurable without real multi-chip hardware (PERF_NOTES "dp scaling").
+    """
+    import json
+    import time
+
+    import jax
+
+    mesh, cfg, model, state, step, x, y = _build(
+        n_devices, batch=global_batch)
+    rng = jax.random.PRNGKey(2)
+    state, aux = step(state, x, y, rng)  # compile
+    jax.block_until_ready(aux["loss"])
+    for _ in range(3):                   # warmup
+        state, aux = step(state, x, y, rng)
+    jax.block_until_ready(aux["loss"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, aux = step(state, x, y, rng)
+    jax.block_until_ready(aux["loss"])
+    dt = time.perf_counter() - t0
+    out = {"n_devices": n_devices, "mesh": dict(mesh.shape),
+           "global_batch": global_batch, "steps": steps,
+           "step_ms": round(dt / steps * 1e3, 2),
+           "loss": round(float(aux["loss"]), 4)}
+    print(json.dumps(out))
+    return out
+
+
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
-    n = int(argv[0]) if argv else 8
+    args = [a for a in argv if not a.startswith("--")]
+    n = int(args[0]) if args else 8
     _force_cpu(n)
-    run(n)
+    if "--bench" in argv:
+        bench(n, global_batch=int(args[1]) if len(args) > 1 else 8)
+    else:
+        run(n)
     return 0
 
 
