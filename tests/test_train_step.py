@@ -73,6 +73,69 @@ def test_train_step_decreases_loss(state_and_batch):
     assert losses[-1] < losses[0], losses
 
 
+def test_multi_step_matches_sequential(state_and_batch):
+    """K scanned steps per dispatch == K sequential single steps (same
+    per-step dropout keys via fold_in)."""
+    from veloxseg_tpu.train.train_state import train_multi_step_fn
+
+    model, make_state, x, y = state_and_batch
+    loss_obj = CompositeLoss("VeloxSeg", TRAIN_CFG, num_modal=2)
+    rng = jax.random.PRNGKey(42)
+    k = 3
+    xs = jnp.stack([x * (1.0 + 0.1 * i) for i in range(k)])
+    ys = jnp.stack([y] * k)
+
+    step = train_step_fn(loss_obj)
+    seq_state = make_state()
+    seq_losses = []
+    for i in range(k):
+        seq_state, aux = step(seq_state, xs[i], ys[i],
+                              jax.random.fold_in(rng, i))
+        seq_losses.append(float(aux["loss"]))
+
+    multi = train_multi_step_fn(loss_obj)
+    init_params = make_state().params  # donated below; snapshot first
+    m_state, auxs = multi(make_state(), xs, ys, rng)
+    # Chained equivalence: step i's loss depends on all i-1 prior scanned
+    # updates, so loss agreement across k steps proves the scan tracks
+    # the sequential updates.
+    np.testing.assert_allclose(np.asarray(auxs["loss"]),
+                               np.asarray(seq_losses), rtol=2e-5)
+    assert auxs["dice"].shape == (k,)
+    # Params: at cold start AdamW's update is ~lr·sign(g) per element
+    # (v is eps-dominated), so elements whose near-zero gradient rounds
+    # across 0 differently between the scanned and standalone
+    # compilations diverge by up to 2·lr per step — benign fp32 noise
+    # the chained-loss check above is insensitive to (those elements
+    # have ~zero loss gradient by construction). Assert the two
+    # properties that separate that from a real divergence: (a) every
+    # element's gap sits inside the k-opposed-lr-steps envelope, and
+    # (b) only a small fraction of elements disagree at all.
+    lr = 2.5e-4
+    gaps = np.concatenate(
+        [np.abs(np.asarray(a) - np.asarray(b)).ravel()
+         for a, b in zip(jax.tree_util.tree_leaves(m_state.params),
+                         jax.tree_util.tree_leaves(seq_state.params))])
+    assert gaps.max() <= 2.0 * k * lr * 1.1, gaps.max()
+    frac_diverged = float((gaps > 0.2 * lr).mean())
+    assert frac_diverged < 0.05, frac_diverged
+    del init_params  # retained only to pin the pre-donation buffer
+
+
+def test_grouped_batch_iterator():
+    """_grouped stacks K same-shape batches and flushes ragged tails as
+    singles (no retrace of the multi program on a shape change)."""
+    from veloxseg_tpu.train.trainer import _grouped
+
+    mk = lambda b: (jnp.zeros((b, 4, 4, 4, 2)), jnp.zeros((b, 4, 4, 4)))
+    batches = [mk(2)] * 5 + [mk(1)]  # ragged final batch
+    out = list(_grouped(iter(batches), 2))
+    # 2 stacked pairs + 1 leftover same-shape single + 1 ragged single
+    assert [o[0].shape for o in out] == [
+        (2, 2, 4, 4, 4, 2), (2, 2, 4, 4, 4, 2),
+        (2, 4, 4, 4, 2), (1, 4, 4, 4, 2)]
+
+
 def test_checkpoint_roundtrip(tmp_path, state_and_batch):
     model, make_state, x, y = state_and_batch
     state = make_state()

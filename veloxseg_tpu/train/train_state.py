@@ -39,23 +39,14 @@ def _cast_tree(tree, dtype):
         else x, tree)
 
 
-def train_step_fn(
+def _train_step_body(
     loss_obj: CompositeLoss,
     compute_dtype: Optional[Any] = None,
     with_metrics: bool = True,
     deep_metric_heads: bool = False,
 ) -> Callable:
-    """Build the jitted train step.
+    """Unjitted step body shared by the single- and multi-step builders."""
 
-    Returns ``step(state, inputs, labels, rng) -> (state, aux)`` where
-    ``aux`` holds the scalar loss and (optionally) head-0 metrics; with
-    ``deep_metric_heads`` it also carries ``aux['deep']`` — a tuple of
-    per-seg-head metric dicts (``show_deep_metrics`` parity,
-    ``utils/metric/metrics.py:6-25``), computed on device.
-    ``inputs``: (B, D, H, W, C) fp32; ``labels``: (B, D, H, W) int32.
-    """
-
-    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, inputs, labels, rng):
         def _loss(params):
             p = params
@@ -90,6 +81,69 @@ def train_step_fn(
         return state, aux
 
     return step
+
+
+def train_step_fn(
+    loss_obj: CompositeLoss,
+    compute_dtype: Optional[Any] = None,
+    with_metrics: bool = True,
+    deep_metric_heads: bool = False,
+) -> Callable:
+    """Build the jitted train step.
+
+    Returns ``step(state, inputs, labels, rng) -> (state, aux)`` where
+    ``aux`` holds the scalar loss and (optionally) head-0 metrics; with
+    ``deep_metric_heads`` it also carries ``aux['deep']`` — a tuple of
+    per-seg-head metric dicts (``show_deep_metrics`` parity,
+    ``utils/metric/metrics.py:6-25``), computed on device.
+    ``inputs``: (B, D, H, W, C) fp32; ``labels``: (B, D, H, W) int32.
+    """
+    body = _train_step_body(loss_obj, compute_dtype, with_metrics,
+                            deep_metric_heads)
+    return jax.jit(body, donate_argnums=(0,))
+
+
+def train_multi_step_fn(
+    loss_obj: CompositeLoss,
+    compute_dtype: Optional[Any] = None,
+    with_metrics: bool = True,
+    deep_metric_heads: bool = False,
+    donate_batches: bool = True,
+) -> Callable:
+    """K optimizer steps per dispatch via ``lax.scan``.
+
+    ``multi(state, inputs, labels, rng) -> (state, auxs)`` where
+    ``inputs``: (K, B, D, H, W, C), ``labels``: (K, B, D, H, W); each of
+    the K slices is one full train step (fwd+bwd+optimizer) with its own
+    dropout key (``fold_in(rng, k)``). ``auxs`` is the per-step aux pytree
+    stacked on a leading K axis.
+
+    Rationale: on hosts where per-dispatch latency rivals the step's
+    device time (this box's tunneled chip has a ~1.8 ms dispatch floor
+    that exceeds the 128³ bs16 step compute — PERF_NOTES round 3), one
+    dispatch per step leaves the chip idle between steps. Scanning K
+    steps amortizes the dispatch to 1/K per step; the loader feeds K
+    batches at a time. Numerics are identical to K sequential
+    ``train_step_fn`` calls (tested). No reference analogue — torch's
+    eager loop pays Python per step by construction.
+    """
+    body = _train_step_body(loss_obj, compute_dtype, with_metrics,
+                            deep_metric_heads)
+    donate = (0, 1, 2) if donate_batches else (0,)
+
+    @functools.partial(jax.jit, donate_argnums=donate)
+    def multi(state: TrainState, inputs, labels, rng):
+        def scan_body(carry, xs):
+            x, y, k = xs
+            new_state, aux = body(carry, x, y, jax.random.fold_in(rng, k))
+            return new_state, aux
+
+        n = inputs.shape[0]
+        state, auxs = jax.lax.scan(
+            scan_body, state, (inputs, labels, jnp.arange(n)))
+        return state, auxs
+
+    return multi
 
 
 def eval_step_fn(apply_fn) -> Callable:

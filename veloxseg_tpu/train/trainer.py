@@ -76,12 +76,52 @@ def set_learning_rate(state, lr: float):
     return state.replace(opt_state=opt_state._replace(hyperparams=hp))
 
 
-def _fetch_aux(aux) -> Dict[str, float]:
-    out = {k: float(v) for k, v in aux.items() if k != "deep"}
-    if "deep" in aux:
-        out["deep"] = tuple({k: float(v) for k, v in head.items()}
-                            for head in aux["deep"])
-    return out
+def _fetch_aux(aux, n_sub: int = 0) -> list:
+    """Fetch the step aux to host in ONE transfer.
+
+    Returns a list of per-step dicts: one for a plain step (``n_sub=0``),
+    ``n_sub`` for a multi-step dispatch whose aux leaves carry a leading
+    K axis. A single ``device_get`` of the whole pytree replaces the old
+    per-scalar ``float(v)`` fetches — each of those was a separate host
+    round trip (~ms over the tunnel), which multiplies under
+    ``steps_per_dispatch``.
+    """
+    host = jax.device_get(aux)
+
+    def conv(h) -> Dict[str, float]:
+        out = {k: float(v) for k, v in h.items() if k != "deep"}
+        if "deep" in h:
+            out["deep"] = tuple({k: float(v) for k, v in head.items()}
+                                for head in h["deep"])
+        return out
+
+    if n_sub == 0:
+        return [conv(host)]
+    return [conv(jax.tree_util.tree_map(lambda a: a[i], host))
+            for i in range(n_sub)]
+
+
+def _grouped(it, k: int):
+    """Group (x, y) device batches into stacked (K, ...) pairs for
+    multi-step dispatches. Same-shape groups only: a shape change (the
+    final ragged batch) flushes pending items as single steps, which the
+    single-step path handles without retracing the multi-step program."""
+    if k <= 1:
+        yield from it
+        return
+    group = []
+    for xy in it:
+        if group and xy[0].shape != group[0][0].shape:
+            for g in group:
+                yield g
+            group = []
+        group.append(xy)
+        if len(group) == k:
+            yield (jnp.stack([g[0] for g in group]),
+                   jnp.stack([g[1] for g in group]))
+            group = []
+    for g in group:
+        yield g
 
 
 def run_train(args, train_config: dict, model_config: dict) -> dict:
@@ -244,6 +284,22 @@ def run_train(args, train_config: dict, model_config: dict) -> dict:
     else:
         step = train_step_fn(loss_obj, compute_dtype=jnp.bfloat16,
                              deep_metric_heads=show_deep)
+    # Dispatch amortization (TPU-native addition): ``steps_per_dispatch``
+    # K>1 scans K optimizer steps inside ONE jitted dispatch
+    # (train_state.train_multi_step_fn) — on hosts where per-dispatch
+    # latency rivals step compute (tunneled chips, slow hosts) this keeps
+    # the chip busy between host round trips. Single-device path only;
+    # under ``--mesh`` the sharded step stays one-step-per-dispatch.
+    steps_per_dispatch = int(train_config.get("steps_per_dispatch", 1))
+    multi_step = None
+    if steps_per_dispatch > 1 and mesh is None:
+        from .train_state import train_multi_step_fn
+        multi_step = train_multi_step_fn(loss_obj,
+                                         compute_dtype=jnp.bfloat16,
+                                         deep_metric_heads=show_deep)
+        logger.info(f"steps_per_dispatch: {steps_per_dispatch}")
+    elif steps_per_dispatch > 1:
+        logger.info("steps_per_dispatch ignored under --mesh")
     eval_step = eval_step_fn(model.apply)
     sharded_eval = None
     if mesh is not None:
@@ -332,26 +388,35 @@ def run_train(args, train_config: dict, model_config: dict) -> dict:
         totals = {"loss": 0.0, "fp_rate": 0.0, "fn_rate": 0.0,
                   "iou": 0.0, "dice": 0.0}
         n_batches = 0
-        pending = None  # 1-step-lagged aux fetch
+        pending = None  # 1-dispatch-lagged aux fetch
         logger.info(f"\n*** Start Epoch {epoch + 1} Training ***\n")
-        for it, (x, y) in enumerate(
-                prefetch_to_device(train_loader, size=prefetch_size,
-                                   put=put_batch)):
-            iteration += 1
-            rng, step_key = jax.random.split(rng)
-            state, aux = step(state, x, y, step_key)
-            if pending is not None:
-                aux_f = _fetch_aux(pending)
+
+        def flush(p):
+            nonlocal n_batches, iteration
+            aux, n_sub = p
+            for aux_f in _fetch_aux(aux, n_sub):
+                iteration += 1
                 for k in totals:
                     totals[k] += aux_f.get(k, 0.0)
-                log_train_aux(aux_f, epoch, it - 1, len(train_loader))
-            pending = aux
-            n_batches += 1
+                log_train_aux(aux_f, epoch, n_batches, len(train_loader))
+                n_batches += 1
+
+        for x, y in _grouped(
+                prefetch_to_device(train_loader, size=prefetch_size,
+                                   put=put_batch),
+                steps_per_dispatch if multi_step is not None else 1):
+            rng, step_key = jax.random.split(rng)
+            if x.ndim == 6:
+                state, aux = multi_step(state, x, y, step_key)
+                n_sub = x.shape[0]
+            else:
+                state, aux = step(state, x, y, step_key)
+                n_sub = 0
+            if pending is not None:
+                flush(pending)
+            pending = (aux, n_sub)
         if pending is not None:
-            aux_f = _fetch_aux(pending)
-            for k in totals:
-                totals[k] += aux_f.get(k, 0.0)
-            log_train_aux(aux_f, epoch, n_batches - 1, len(train_loader))
+            flush(pending)
 
         means = {k: v / max(n_batches, 1) for k, v in totals.items()}
         mean_dice = means["dice"]
