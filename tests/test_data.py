@@ -77,6 +77,32 @@ class TestTransforms:
         assert lab.shape == label.shape
         assert set(np.unique(lab)) <= {0, 1}  # nearest keeps labels crisp
 
+    def test_native_rotate_matches_scipy(self):
+        """Native rotate kernel == scipy.ndimage.rotate at both orders,
+        on C- and Fortran-ordered inputs and integer labels."""
+        from scipy import ndimage
+
+        from veloxseg_tpu.data.native_ops import _load_rotate, rotate_axes01
+        if _load_rotate() is None:
+            pytest.skip("native library not built")
+        rng = np.random.default_rng(4)
+        for shape in ((17, 23, 9), (32, 32, 32)):
+            v = rng.standard_normal(shape).astype(np.float32)
+            for arr in (v, np.asfortranarray(v)):
+                for rad in (-0.63, 0.015, 0.8):
+                    for order in (0, 1):
+                        got = rotate_axes01(arr, rad, order)
+                        want = ndimage.rotate(
+                            arr, math.degrees(rad), axes=(0, 1),
+                            reshape=False, order=order, mode="nearest")
+                        np.testing.assert_allclose(got, want, atol=2e-6)
+        lab = (rng.random((32, 32, 32)) > 0.8).astype(np.int32) * 3
+        got = rotate_axes01(lab, 0.4, 0)
+        want = ndimage.rotate(lab, math.degrees(0.4), axes=(0, 1),
+                              reshape=False, order=0, mode="nearest")
+        assert got.dtype == lab.dtype
+        np.testing.assert_array_equal(got, want)
+
     def test_normalizations(self):
         rng = np.random.default_rng(3)
         img = rng.standard_normal((10, 10, 10)).astype(np.float32) * 5 + 3

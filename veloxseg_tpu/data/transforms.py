@@ -175,9 +175,17 @@ def rand_rotate_z(
     rng = rng or np.random.default_rng()
     if rng.random() >= prob:
         return list(volumes), label
-    angle = math.degrees(rng.uniform(-range_z, range_z))
-    rot = lambda v, order: ndimage.rotate(
-        v, angle, axes=(0, 1), reshape=False, order=order, mode="nearest")
+    rad = rng.uniform(-range_z, range_z)
+    angle = math.degrees(rad)
+
+    def rot(v, order):
+        from .native_ops import rotate_axes01
+        out = rotate_axes01(v, rad, order)  # native row-streaming kernel
+        if out is not None:
+            return out
+        return ndimage.rotate(v, angle, axes=(0, 1), reshape=False,
+                              order=order, mode="nearest")
+
     return [rot(v, 1) for v in volumes], rot(label, 0)
 
 
