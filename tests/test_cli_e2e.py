@@ -99,6 +99,12 @@ def test_train_cli_on_mesh(workspace):
     tc["epochs"] = 1
     tc["deep_Loss_weight"] = [1, 1, 1, 1]
     tc["save_path"] = _os.path.join(root, "save_mesh")
+    # K>1 exercises the sharded multi-step dispatch path through the
+    # trainer loop (host-side batch grouping, stacked shardings, ragged
+    # tail falling back to single sharded steps).
+    tc["steps_per_dispatch"] = 2
+    # jax.profiler trace hook (SURVEY §5 observability).
+    tc["profile_dir"] = _os.path.join(root, "trace_mesh")
     mpaths = {}
     for name, data in (("train_mesh.json", tc), ("models_mesh.json", micro)):
         p = _os.path.join(root, name)
@@ -118,6 +124,11 @@ def test_train_cli_on_mesh(workspace):
     ])
     assert "train_best.ckpt" in os.listdir(result["save_path"])
     assert np.isfinite(result["best_train_dice"])
+    # the device trace was captured and is TensorBoard-readable on disk
+    assert glob.glob(_os.path.join(root, "trace_mesh", "**", "*.pb"),
+                     recursive=True) or glob.glob(
+        _os.path.join(root, "trace_mesh", "**", "*.json.gz"),
+        recursive=True), "no profiler trace written"
 
 
 def test_train_then_test_cli(workspace):

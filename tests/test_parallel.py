@@ -84,6 +84,73 @@ def test_sharded_step_matches_single_device():
                                                 rel=2e-3)
 
 
+def test_sharded_multi_step_matches_sequential():
+    """K scanned sharded steps per dispatch == K sequential sharded steps
+    (steps_per_dispatch under --mesh; chained losses prove the scan
+    tracks the sequential updates)."""
+    from veloxseg_tpu.core.config import VeloxSegConfig
+    from veloxseg_tpu.nn.veloxseg import VeloxSeg
+    from veloxseg_tpu.parallel.mesh import (
+        batch_sharding, label_sharding, make_mesh, replicate_sharding,
+        stacked_batch_sharding, stacked_label_sharding)
+    from veloxseg_tpu.parallel.sharded_step import (make_sharded_multi_step,
+                                                    make_sharded_train_step)
+    from veloxseg_tpu.train.loss import CompositeLoss
+    from veloxseg_tpu.train.optim import build_optimizer
+    from veloxseg_tpu.train.train_state import create_train_state
+
+    cfg = VeloxSegConfig(
+        input_size=(32, 32, 32), patch_size=4, in_ch=(1, 1), n_classes=2,
+        base_ch=8, attn_base_ch=8, depths=(1, 1, 1, 1),
+        proj_drop=0.0, attn_drop=0.0, conv_drop=0.0,
+        min_big_window_sizes=((2, 2, 2), (2, 2, 2), (2, 2, 2), (1, 1, 1)),
+    )
+    model = VeloxSeg(cfg)
+    rng = np.random.default_rng(3)
+    k = 2
+    x = jnp.asarray(rng.standard_normal((k, 2, 32, 32, 32, 2)),
+                    dtype=jnp.float32)
+    y = jnp.asarray(rng.integers(0, 2, (k, 2, 32, 32, 32)),
+                    dtype=jnp.int32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0),
+         "dropout": jax.random.PRNGKey(1)}, x[0], train=True)
+    train_cfg = {"deep_Loss_weight": [1, 1, 1, 1], "RC_Loss_weight": 0.5,
+                 "Feature_Loss_weight": 2.0}
+    loss_obj = CompositeLoss("VeloxSeg", train_cfg, num_modal=2)
+    mesh = make_mesh(jax.devices()[:4], data=2, spatial=2)
+
+    def fresh_state():
+        tx = build_optimizer("adamw", {"lr": 2.5e-4, "weight_decay": 0.01})
+        params = jax.tree_util.tree_map(jnp.copy, variables["params"])
+        return jax.device_put(create_train_state(model, params, tx),
+                              replicate_sharding(mesh))
+
+    key = jax.random.PRNGKey(11)
+
+    step = make_sharded_train_step(mesh, loss_obj)
+    seq_state = fresh_state()
+    seq_losses = []
+    for i in range(k):
+        xi = jax.device_put(x[i], batch_sharding(mesh))
+        yi = jax.device_put(y[i], label_sharding(mesh))
+        seq_state, aux = step(seq_state, xi, yi, jax.random.fold_in(key, i))
+        seq_losses.append(float(aux["loss"]))
+
+    multi = make_sharded_multi_step(mesh, loss_obj, donate_batches=False)
+    xs = jax.device_put(x, stacked_batch_sharding(mesh))
+    ys = jax.device_put(y, stacked_label_sharding(mesh))
+    _, auxs = multi(fresh_state(), xs, ys, key)
+    # Step 0 matches exactly (same data/shardings/keys); step 1 carries
+    # one AdamW update whose near-zero-grad elements amplify the
+    # reduction-order differences between the scanned and standalone
+    # GSPMD compilations (observed rel ~7e-5 on the CPU mesh).
+    np.testing.assert_allclose(np.asarray(auxs["loss"]),
+                               np.asarray(seq_losses), rtol=3e-4)
+    assert abs(float(auxs["loss"][0]) - seq_losses[0]) < 1e-6
+    assert auxs["dice"].shape == (k,)
+
+
 def test_sharded_sliding_window_matches_single_device():
     """VERDICT r2 item 5: full-model sliding-window inference with the tile
     batch sharded over the mesh 'data' axis (fused eval attention ON via

@@ -122,6 +122,57 @@ def test_multi_step_matches_sequential(state_and_batch):
     del init_params  # retained only to pin the pre-donation buffer
 
 
+def test_grad_accum_matches_full_batch():
+    """train_accum_step_fn: (a) chained equivalence — A duplicated
+    micro-batches average to the single-micro gradient, so K accum steps
+    track K plain steps; (b) split-batch loss equivalence — the composite
+    loss decomposes as a per-sample mean, so accumulating halves reports
+    the full-batch loss."""
+    from veloxseg_tpu.train.train_state import train_accum_step_fn
+
+    cfg = TINY.replace(proj_drop=0.0, attn_drop=0.0, conv_drop=0.0)
+    model = VeloxSeg(cfg)
+    x = jnp.asarray(np.random.default_rng(5).standard_normal(
+        (2, 32, 32, 32, 2)), dtype=jnp.float32)
+    y = jnp.asarray(np.random.default_rng(6).integers(0, 2, (2, 32, 32, 32)),
+                    dtype=jnp.int32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0),
+         "dropout": jax.random.PRNGKey(1)}, x, train=True)
+
+    def make_state():
+        tx = build_optimizer("adamw", {"lr": 2.5e-4, "weight_decay": 0.01})
+        return create_train_state(
+            model, jax.tree_util.tree_map(jnp.copy, variables["params"]), tx)
+
+    loss_obj = CompositeLoss("VeloxSeg", TRAIN_CFG, num_modal=2)
+    rng = jax.random.PRNGKey(9)
+    step = train_step_fn(loss_obj)
+    accum = train_accum_step_fn(loss_obj, donate_batches=False)
+
+    # (a) duplicated micros: mean of identical grads == the grad.
+    xs_dup = jnp.stack([x, x])
+    ys_dup = jnp.stack([y, y])
+    s_plain, s_accum = make_state(), make_state()
+    for i in range(3):
+        key = jax.random.fold_in(rng, i)
+        s_plain, aux_p = step(s_plain, x, y, key)
+        s_accum, aux_a = accum(s_accum, xs_dup, ys_dup, key)
+        assert float(aux_a["loss"]) == pytest.approx(float(aux_p["loss"]),
+                                                     rel=2e-5)
+        assert float(aux_a["dice"]) == pytest.approx(float(aux_p["dice"]),
+                                                     abs=1e-6)
+
+    # (b) split halves: reported loss == full-batch loss (per-sample-mean
+    # decomposition of CE+Dice+MSE+Gram).
+    _, aux_full = step(make_state(), x, y, rng)
+    xs_half = x[:, None]   # (2, 1, ...)
+    ys_half = y[:, None]
+    _, aux_half = accum(make_state(), xs_half, ys_half, rng)
+    assert float(aux_half["loss"]) == pytest.approx(
+        float(aux_full["loss"]), rel=1e-4)
+
+
 def test_grouped_batch_iterator():
     """_grouped stacks K same-shape batches and flushes ragged tails as
     singles (no retrace of the multi program on a shape change)."""

@@ -54,6 +54,23 @@ def label_sharding(mesh: Mesh, spatial_shard: bool = True) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def stacked_batch_sharding(mesh: Mesh, spatial_shard: bool = True
+                           ) -> NamedSharding:
+    """Sharding for a (K, B, D, H, W, C) multi-step batch stack: the
+    scan axis K is replicated; B/D shard like :func:`batch_sharding`."""
+    if spatial_shard:
+        return NamedSharding(mesh, P(None, "data", "spatial"))
+    return NamedSharding(mesh, P(None, "data"))
+
+
+def stacked_label_sharding(mesh: Mesh, spatial_shard: bool = True
+                           ) -> NamedSharding:
+    """Sharding for (K, B, D, H, W) stacked integer labels."""
+    if spatial_shard:
+        return NamedSharding(mesh, P(None, "data", "spatial"))
+    return NamedSharding(mesh, P(None, "data"))
+
+
 def replicate_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

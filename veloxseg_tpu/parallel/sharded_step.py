@@ -16,10 +16,9 @@ import jax
 import jax.numpy as jnp
 
 from ..train.loss import CompositeLoss
-from ..train.metrics import (deep_metrics, pred_from_logits,
-                             segmentation_metrics)
-from ..train.train_state import TrainState, _cast_tree
-from .mesh import batch_sharding, label_sharding, replicate_sharding
+from ..train.train_state import _train_step_body
+from .mesh import (batch_sharding, label_sharding, replicate_sharding,
+                   stacked_batch_sharding, stacked_label_sharding)
 
 
 def make_sharded_train_step(mesh, loss_obj: CompositeLoss,
@@ -44,50 +43,59 @@ def make_sharded_train_step(mesh, loss_obj: CompositeLoss,
     x_shard = batch_sharding(mesh, spatial_shard)
     y_shard = label_sharding(mesh, spatial_shard)
 
-    @functools.partial(
-        jax.jit,
-        in_shardings=(repl, x_shard, y_shard, repl),
-        out_shardings=(repl, repl),
-        donate_argnums=(0,),
-    )
-    def step(state: TrainState, inputs, labels, rng):
-        def _loss(params):
-            p = params
-            x = inputs
-            if compute_dtype is not None:
-                p = _cast_tree(p, compute_dtype)
-                x = x.astype(compute_dtype)
-            outs = state.apply_fn({"params": p}, x, train=True,
-                                  rngs={"dropout": rng})
-            loss = loss_obj(outs, labels, sr_labels=x.astype(jnp.float32))
-            heads = (loss_obj.metric_outputs(outs) if deep_metric_heads
-                     else [outs[0] if isinstance(outs, (list, tuple))
-                           else outs])
-            return loss, heads
-
-        (loss, heads), grads = jax.value_and_grad(
-            _loss, has_aux=True)(state.params)
-        grads = _cast_tree(grads, jnp.float32)
-        state = state.apply_gradients(grads=grads)
-        aux = {"loss": loss}
-        if with_metrics:
-            if deep_metric_heads:
-                # compute head-0 metrics once; the deep tuple keeps head 0
-                # (the reference's show_deep_metrics prints it with pix)
-                per_head = deep_metrics(heads, labels)
-                aux.update({k: v for k, v in per_head[0].items()
-                            if k not in ("pred_pix", "label_pix")})
-                aux["deep"] = tuple(per_head)
-            else:
-                aux.update(segmentation_metrics(
-                    labels, pred_from_logits(heads[0])))
-        return state, aux
+    body = _train_step_body(loss_obj, compute_dtype, with_metrics,
+                            deep_metric_heads)
+    step = jax.jit(body, in_shardings=(repl, x_shard, y_shard, repl),
+                   out_shardings=(repl, repl), donate_argnums=(0,))
 
     def step_in_scope(state, inputs, labels, rng):
         with pwa_attention.spmd_scope(mesh):
             return step(state, inputs, labels, rng)
 
     return step_in_scope
+
+
+def make_sharded_multi_step(mesh, loss_obj: CompositeLoss,
+                            compute_dtype=None, spatial_shard: bool = True,
+                            with_metrics: bool = True,
+                            deep_metric_heads: bool = False,
+                            donate_batches: bool = True):
+    """SPMD twin of :func:`~veloxseg_tpu.train.train_state.
+    train_multi_step_fn`: K full optimizer steps per dispatch via
+    ``lax.scan``, each step's batch sharded over the mesh exactly like
+    the one-step path (scan axis replicated, batch over ``data``,
+    leading spatial over ``spatial``).
+
+    ``multi(state, inputs, labels, rng) -> (state, auxs)`` with
+    ``inputs`` (K, B, D, H, W, C), ``labels`` (K, B, D, H, W); per-step
+    dropout keys are ``fold_in(rng, k)`` — numerics identical to K
+    sequential sharded steps (tested on the CPU mesh).
+    """
+    from ..ops import pwa_attention
+
+    repl = replicate_sharding(mesh)
+    x_shard = stacked_batch_sharding(mesh, spatial_shard)
+    y_shard = stacked_label_sharding(mesh, spatial_shard)
+    body = _train_step_body(loss_obj, compute_dtype, with_metrics,
+                            deep_metric_heads)
+    donate = (0, 1, 2) if donate_batches else (0,)
+
+    @functools.partial(jax.jit, in_shardings=(repl, x_shard, y_shard, repl),
+                       out_shardings=(repl, repl), donate_argnums=donate)
+    def multi(state, inputs, labels, rng):
+        def scan_body(carry, xs):
+            x, y, k = xs
+            return body(carry, x, y, jax.random.fold_in(rng, k))
+
+        return jax.lax.scan(
+            scan_body, state,
+            (inputs, labels, jnp.arange(inputs.shape[0])))
+
+    def multi_in_scope(state, inputs, labels, rng):
+        with pwa_attention.spmd_scope(mesh):
+            return multi(state, inputs, labels, rng)
+
+    return multi_in_scope
 
 
 def make_sharded_eval_step(mesh, apply_fn, spatial_shard: bool = True):

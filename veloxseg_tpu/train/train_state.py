@@ -39,15 +39,15 @@ def _cast_tree(tree, dtype):
         else x, tree)
 
 
-def _train_step_body(
+def _loss_grads_fn(
     loss_obj: CompositeLoss,
     compute_dtype: Optional[Any] = None,
-    with_metrics: bool = True,
     deep_metric_heads: bool = False,
 ) -> Callable:
-    """Unjitted step body shared by the single- and multi-step builders."""
+    """``f(state, inputs, labels, rng) -> (loss, heads, fp32 grads)`` —
+    the forward+backward core shared by every step builder."""
 
-    def step(state: TrainState, inputs, labels, rng):
+    def f(state: TrainState, inputs, labels, rng):
         def _loss(params):
             p = params
             x = inputs
@@ -64,20 +64,44 @@ def _train_step_body(
 
         (loss, heads), grads = jax.value_and_grad(
             _loss, has_aux=True)(state.params)
-        grads = _cast_tree(grads, jnp.float32)
+        return loss, heads, _cast_tree(grads, jnp.float32)
+
+    return f
+
+
+def _metrics_aux(heads, labels, with_metrics: bool,
+                 deep_metric_heads: bool) -> dict:
+    """Per-step metric aux dict (device values)."""
+    aux = {}
+    if with_metrics:
+        if deep_metric_heads:
+            # compute head-0 metrics once; the deep tuple keeps head 0
+            # (the reference's show_deep_metrics prints it with pix)
+            per_head = deep_metrics(heads, labels)
+            aux.update({k: v for k, v in per_head[0].items()
+                        if k not in ("pred_pix", "label_pix")})
+            aux["deep"] = tuple(per_head)
+        else:
+            aux.update(segmentation_metrics(
+                labels, pred_from_logits(heads[0])))
+    return aux
+
+
+def _train_step_body(
+    loss_obj: CompositeLoss,
+    compute_dtype: Optional[Any] = None,
+    with_metrics: bool = True,
+    deep_metric_heads: bool = False,
+) -> Callable:
+    """Unjitted step body shared by the single- and multi-step builders."""
+    lg = _loss_grads_fn(loss_obj, compute_dtype, deep_metric_heads)
+
+    def step(state: TrainState, inputs, labels, rng):
+        loss, heads, grads = lg(state, inputs, labels, rng)
         state = state.apply_gradients(grads=grads)
         aux = {"loss": loss}
-        if with_metrics:
-            if deep_metric_heads:
-                # compute head-0 metrics once; the deep tuple keeps head 0
-                # (the reference's show_deep_metrics prints it with pix)
-                per_head = deep_metrics(heads, labels)
-                aux.update({k: v for k, v in per_head[0].items()
-                            if k not in ("pred_pix", "label_pix")})
-                aux["deep"] = tuple(per_head)
-            else:
-                aux.update(segmentation_metrics(
-                    labels, pred_from_logits(heads[0])))
+        aux.update(_metrics_aux(heads, labels, with_metrics,
+                                deep_metric_heads))
         return state, aux
 
     return step
@@ -144,6 +168,62 @@ def train_multi_step_fn(
         return state, auxs
 
     return multi
+
+
+def train_accum_step_fn(
+    loss_obj: CompositeLoss,
+    compute_dtype: Optional[Any] = None,
+    with_metrics: bool = True,
+    deep_metric_heads: bool = False,
+    donate_batches: bool = True,
+) -> Callable:
+    """ONE optimizer update from gradients averaged over A micro-batches
+    (``lax.scan``): ``step(state, inputs, labels, rng) -> (state, aux)``
+    with ``inputs`` (A, b, D, H, W, C), ``labels`` (A, b, D, H, W).
+
+    Equivalent to one :func:`train_step_fn` step on the concatenated
+    ``A*b`` batch (exact for the gradients modulo fp reduction order and
+    per-micro-batch dropout keys — tested with dropout off) at 1/A the
+    activation memory: the backward of micro-batch *i* completes before
+    micro-batch *i+1*'s forward begins, so activation liveness never
+    exceeds one micro-batch. TPU-native addition for effective batches
+    that exceed HBM; no reference analogue.
+
+    ``aux`` matches the single-step aux on the effective batch: scalars
+    are micro-batch means, ``*_pix`` counts are sums.
+    """
+    lg = _loss_grads_fn(loss_obj, compute_dtype, deep_metric_heads)
+    donate = (0, 1, 2) if donate_batches else (0,)
+
+    @functools.partial(jax.jit, donate_argnums=donate)
+    def step(state: TrainState, inputs, labels, rng):
+        a = inputs.shape[0]
+
+        def scan_body(gsum, xs):
+            x, y, k = xs
+            loss, heads, grads = lg(state, x, y, jax.random.fold_in(rng, k))
+            aux = {"loss": loss}
+            aux.update(_metrics_aux(heads, y, with_metrics,
+                                    deep_metric_heads))
+            gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+            return gsum, aux
+
+        zeros = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+        gsum, auxs = jax.lax.scan(
+            scan_body, zeros, (inputs, labels, jnp.arange(a)))
+        grads = jax.tree_util.tree_map(lambda g: g / a, gsum)
+        state = state.apply_gradients(grads=grads)
+
+        def combine(path, v):
+            name = path[-1].key if path else ""
+            return jnp.sum(v, 0) if name.endswith("_pix") \
+                else jnp.mean(v, 0)
+
+        aux = jax.tree_util.tree_map_with_path(combine, auxs)
+        return state, aux
+
+    return step
 
 
 def eval_step_fn(apply_fn) -> Callable:

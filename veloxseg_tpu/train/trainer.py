@@ -101,24 +101,27 @@ def _fetch_aux(aux, n_sub: int = 0) -> list:
             for i in range(n_sub)]
 
 
-def _grouped(it, k: int):
-    """Group (x, y) device batches into stacked (K, ...) pairs for
-    multi-step dispatches. Same-shape groups only: a shape change (the
-    final ragged batch) flushes pending items as single steps, which the
-    single-step path handles without retracing the multi-step program."""
+def _grouped(it, k: int, stack=jnp.stack):
+    """Group (x, y) batches into stacked (K, ...) pairs for multi-step
+    dispatches. Same-shape groups only: a shape change (the final ragged
+    batch) flushes pending items as single steps, which the single-step
+    path handles without retracing the multi-step program. ``stack`` is
+    ``jnp.stack`` for device batches (single-device path, post-prefetch)
+    or ``np.stack`` for host batches (mesh path, pre-prefetch — the
+    stack then ships to the mesh in one sharded transfer)."""
     if k <= 1:
         yield from it
         return
     group = []
     for xy in it:
-        if group and xy[0].shape != group[0][0].shape:
+        if group and np.shape(xy[0]) != np.shape(group[0][0]):
             for g in group:
                 yield g
             group = []
         group.append(xy)
         if len(group) == k:
-            yield (jnp.stack([g[0] for g in group]),
-                   jnp.stack([g[1] for g in group]))
+            yield (stack([g[0] for g in group]),
+                   stack([g[1] for g in group]))
             group = []
     for g in group:
         yield g
@@ -286,20 +289,47 @@ def run_train(args, train_config: dict, model_config: dict) -> dict:
                              deep_metric_heads=show_deep)
     # Dispatch amortization (TPU-native addition): ``steps_per_dispatch``
     # K>1 scans K optimizer steps inside ONE jitted dispatch
-    # (train_state.train_multi_step_fn) — on hosts where per-dispatch
-    # latency rivals step compute (tunneled chips, slow hosts) this keeps
-    # the chip busy between host round trips. Single-device path only;
-    # under ``--mesh`` the sharded step stays one-step-per-dispatch.
+    # (train_state.train_multi_step_fn / parallel.make_sharded_multi_step)
+    # — on hosts where per-dispatch latency rivals step compute (tunneled
+    # chips, slow hosts) this keeps the chip busy between host round
+    # trips.
     steps_per_dispatch = int(train_config.get("steps_per_dispatch", 1))
+    # Gradient accumulation (TPU-native addition): ``grad_accum`` A>1
+    # averages gradients over A loader batches before ONE optimizer
+    # update (train_state.train_accum_step_fn) — effective batch A× at
+    # one micro-batch's activation memory. Counts as one iteration per
+    # update in the logs/TensorBoard. Mutually exclusive with
+    # ``steps_per_dispatch`` (one scans optimizer steps, the other scans
+    # gradient halves of ONE step); single-device path (under --mesh,
+    # scale the batch over the data axis instead).
+    grad_accum = int(train_config.get("grad_accum", 1))
+    if grad_accum > 1 and steps_per_dispatch > 1:
+        raise ValueError("grad_accum and steps_per_dispatch are mutually "
+                         "exclusive")
+    if grad_accum > 1 and mesh is not None:
+        raise ValueError("grad_accum is a single-device feature; under "
+                         "--mesh scale the global batch over the data "
+                         "axis instead")
     multi_step = None
-    if steps_per_dispatch > 1 and mesh is None:
-        from .train_state import train_multi_step_fn
-        multi_step = train_multi_step_fn(loss_obj,
+    accum_step = None
+    if grad_accum > 1:
+        from .train_state import train_accum_step_fn
+        accum_step = train_accum_step_fn(loss_obj,
                                          compute_dtype=jnp.bfloat16,
                                          deep_metric_heads=show_deep)
-        logger.info(f"steps_per_dispatch: {steps_per_dispatch}")
+        logger.info(f"grad_accum: {grad_accum}")
     elif steps_per_dispatch > 1:
-        logger.info("steps_per_dispatch ignored under --mesh")
+        if mesh is None:
+            from .train_state import train_multi_step_fn
+            multi_step = train_multi_step_fn(loss_obj,
+                                             compute_dtype=jnp.bfloat16,
+                                             deep_metric_heads=show_deep)
+        else:
+            from ..parallel.sharded_step import make_sharded_multi_step
+            multi_step = make_sharded_multi_step(
+                mesh, loss_obj, compute_dtype=jnp.bfloat16,
+                spatial_shard=spatial_shard, deep_metric_heads=show_deep)
+        logger.info(f"steps_per_dispatch: {steps_per_dispatch}")
     eval_step = eval_step_fn(model.apply)
     sharded_eval = None
     if mesh is not None:
@@ -343,10 +373,18 @@ def run_train(args, train_config: dict, model_config: dict) -> dict:
     # TPU analogue of torch DataLoader workers + pin_memory async copies.
     prefetch_size = int(train_config.get("prefetch", 2))
     if mesh is not None:
+        from ..parallel.mesh import (stacked_batch_sharding,
+                                     stacked_label_sharding)
+        x_stack = stacked_batch_sharding(mesh, spatial_shard)
+        y_stack = stacked_label_sharding(mesh, spatial_shard)
+
         def put_batch(batch):
-            xs, ys = batch
+            xs, ys = np.asarray(batch[0]), np.asarray(batch[1])
+            if xs.ndim == 6:  # (K, B, ...) multi-step stack
+                return (shard_host_batch(xs, x_stack),
+                        shard_host_batch(ys, y_stack))
             return (shard_host_batch(xs, x_shard),
-                    shard_host_batch(np.asarray(ys), y_shard))
+                    shard_host_batch(ys, y_shard))
     else:
         def put_batch(batch):
             xs, ys = batch
@@ -354,6 +392,27 @@ def run_train(args, train_config: dict, model_config: dict) -> dict:
 
     iteration = 0
     epochs = train_config["epochs"]
+
+    # Observability (SURVEY §5): per-epoch patches/s meter, and an
+    # optional ``profile_dir`` config key that captures a jax.profiler
+    # device trace of steady-state dispatches (2–12, skipping the compile
+    # dispatch; stops early at epoch end) of the first epoch —
+    # TensorBoard profile plugin readable, the TPU-native replacement for
+    # the reference's wall-clock deltas.
+    from ..utils.profiling import ThroughputMeter
+    profile_dir = train_config.get("profile_dir")
+    prof = {"on": False, "done": False}
+
+    def maybe_profile(n_dispatch: int) -> None:
+        if not profile_dir or prof["done"]:
+            return
+        if not prof["on"] and n_dispatch >= 2:
+            jax.profiler.start_trace(profile_dir)
+            prof["on"] = True
+        elif prof["on"] and n_dispatch >= 12:
+            jax.profiler.stop_trace()
+            prof.update(on=False, done=True)
+            logger.info(f"profiler trace written to {profile_dir}")
 
     def log_train_aux(aux_f, epoch, it_in_epoch, n_batches):
         nonlocal iteration
@@ -401,22 +460,48 @@ def run_train(args, train_config: dict, model_config: dict) -> dict:
                 log_train_aux(aux_f, epoch, n_batches, len(train_loader))
                 n_batches += 1
 
-        for x, y in _grouped(
-                prefetch_to_device(train_loader, size=prefetch_size,
-                                   put=put_batch),
-                steps_per_dispatch if multi_step is not None else 1):
+        if accum_step is not None:
+            k_dispatch = grad_accum
+        else:
+            k_dispatch = steps_per_dispatch if multi_step is not None else 1
+        if mesh is not None:
+            # Mesh path: group on host and ship each K-stack in one
+            # sharded transfer (stacked shardings in put_batch).
+            src = prefetch_to_device(
+                _grouped(iter(train_loader), k_dispatch, stack=np.stack),
+                size=prefetch_size, put=put_batch)
+        else:
+            # Single-device path: prefetch overlaps the K per-batch H2D
+            # copies with compute; stacking happens on device.
+            src = _grouped(prefetch_to_device(train_loader,
+                                              size=prefetch_size,
+                                              put=put_batch), k_dispatch)
+        meter = ThroughputMeter()
+        n_dispatch = 0
+        for x, y in src:
             rng, step_key = jax.random.split(rng)
-            if x.ndim == 6:
+            if x.ndim == 6 and accum_step is not None:
+                state, aux = accum_step(state, x, y, step_key)
+                n_sub = 0  # A micro-batches, ONE update, one log entry
+            elif x.ndim == 6:
                 state, aux = multi_step(state, x, y, step_key)
                 n_sub = x.shape[0]
             else:
                 state, aux = step(state, x, y, step_key)
                 n_sub = 0
+            meter.update(x.shape[0] * x.shape[1] if x.ndim == 6
+                         else x.shape[0])
+            n_dispatch += 1
+            maybe_profile(n_dispatch)
             if pending is not None:
                 flush(pending)
             pending = (aux, n_sub)
         if pending is not None:
             flush(pending)
+        if prof["on"]:  # epoch shorter than the trace window
+            jax.profiler.stop_trace()
+            prof.update(on=False, done=True)
+            logger.info(f"profiler trace written to {profile_dir}")
 
         means = {k: v / max(n_batches, 1) for k, v in totals.items()}
         mean_dice = means["dice"]
@@ -433,7 +518,8 @@ def run_train(args, train_config: dict, model_config: dict) -> dict:
             f"training epoch {epoch + 1}: average "
             f"[FP:{means['fp_rate']:.4f}, FN:{means['fn_rate']:.4f}, "
             f"IoU:{means['iou']:.4f}, Dice:{mean_dice:.4f}] "
-            f"loss {means['loss']:.4f} time {time.time() - start:.1f}s")
+            f"loss {means['loss']:.4f} time {time.time() - start:.1f}s "
+            f"({meter.rate():.1f} patches/s)")
 
         # Validation --------------------------------------------------
         if (epoch + 1) % train_config["val_interval"] == 0:
