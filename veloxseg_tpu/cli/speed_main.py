@@ -134,9 +134,16 @@ def main(argv=None):
     else:
         keys = list(config.keys())
 
+    wanted = [d.strip() for d in args.devices.split(",")]
+    if wanted and all(d == "cpu" for d in wanted):
+        # Pure-CPU run: re-platform BEFORE any backend init so the
+        # accelerator backend is never touched (environments that pin
+        # jax_platforms to the accelerator via jax.config — e.g. the
+        # axon sitecustomize — would otherwise fail/hang the CPU pass
+        # whenever the chip is unreachable).
+        jax.config.update("jax_platforms", "cpu")
     devices = []
-    for d in args.devices.split(","):
-        d = d.strip()
+    for d in wanted:
         if d == "default":
             devices.append(None)
         elif d == "cpu":
