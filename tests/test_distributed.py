@@ -1,0 +1,89 @@
+"""Multi-host (multi-process) SPMD: 2 processes x 2 virtual CPU devices.
+
+Real pod slices beyond one host run one JAX process per host; this test
+spins up an actual 2-process cluster (jax.distributed + Gloo CPU
+collectives), runs one sharded train step of the slim full-depth model
+on the 4-device GLOBAL mesh, and checks both processes agree with the
+single-process 4-device step on the identical batch — i.e. the
+cross-host gradient all-reduce and the make_array_from_callback input
+path produce the same training step a single host computes.
+"""
+
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # full-model XLA compiles x3 processes
+
+_PORT = "12757"
+
+
+def _single_process_loss() -> float:
+    from veloxseg_tpu.core.config import VeloxSegConfig
+    from veloxseg_tpu.nn.veloxseg import VeloxSeg
+    from veloxseg_tpu.parallel.mesh import (batch_sharding, label_sharding,
+                                            make_mesh, replicate_sharding)
+    from veloxseg_tpu.parallel.sharded_step import make_sharded_train_step
+    from veloxseg_tpu.train.loss import CompositeLoss
+    from veloxseg_tpu.train.optim import build_optimizer
+    from veloxseg_tpu.train.train_state import create_train_state
+
+    cfg = VeloxSegConfig(
+        input_size=(32, 32, 32), patch_size=4, in_ch=(1, 1), n_classes=2,
+        base_ch=8, attn_base_ch=8, depths=(1, 1, 1, 1),
+        proj_drop=0.0, attn_drop=0.0, conv_drop=0.0,
+        min_big_window_sizes=((2, 2, 2), (2, 2, 2), (2, 2, 2), (1, 1, 1)),
+    )
+    model = VeloxSeg(cfg)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 32, 32, 32, 2)).astype(np.float32)
+    y = rng.integers(0, 2, (2, 32, 32, 32)).astype(np.int32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0),
+         "dropout": jax.random.PRNGKey(1)}, jnp.asarray(x), train=True)
+    loss_obj = CompositeLoss(
+        "VeloxSeg", {"deep_Loss_weight": [1, 1, 1, 1],
+                     "RC_Loss_weight": 0.5, "Feature_Loss_weight": 2.0},
+        num_modal=2)
+    tx = build_optimizer("adamw", {"lr": 2.5e-4, "weight_decay": 0.01})
+    state = create_train_state(model, variables["params"], tx)
+    mesh = make_mesh(jax.devices()[:4], data=2, spatial=2)
+    state = jax.device_put(state, replicate_sharding(mesh))
+    xs = jax.device_put(jnp.asarray(x), batch_sharding(mesh))
+    ys = jax.device_put(jnp.asarray(y), label_sharding(mesh))
+    step = make_sharded_train_step(mesh, loss_obj)
+    _, aux = step(state, xs, ys, jax.random.PRNGKey(7))
+    return float(aux["loss"])
+
+
+def test_two_process_step_matches_single_process():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "_dist_worker.py")
+    env = {**os.environ, "PYTHONPATH": repo}
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(i), "2", _PORT],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, cwd=repo) for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=1500)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    losses = []
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
+        marks = [ln for ln in out.splitlines() if ln.startswith("DIST_LOSS")]
+        assert marks, f"worker {i} printed no loss:\n{out[-3000:]}"
+        losses.append(float(marks[0].split()[1]))
+
+    assert losses[0] == pytest.approx(losses[1], abs=1e-6)
+    assert losses[0] == pytest.approx(_single_process_loss(), rel=2e-3)

@@ -108,12 +108,17 @@ def parse_mesh_spec(spec: Optional[str]) -> Optional[Mesh]:
 def shard_host_batch(x, sharding: NamedSharding):
     """Place a host batch onto the mesh.
 
-    Multi-process: each host contributes its local shard
-    (``jax.make_array_from_process_local_data`` — SURVEY §5 comm-backend
-    plan). Single-process (incl. virtual CPU meshes): a plain device_put,
-    which XLA splits across the addressable devices.
+    Multi-process (SURVEY §5 comm-backend plan): ``x`` is the full
+    GLOBAL batch — every process builds the identical batch (same files,
+    seed, loader order; see ``parallel/distributed.py``) and each
+    addressable device fetches exactly its shard via
+    ``jax.make_array_from_callback``, which is correct for any mesh
+    layout (incl. spatial sharding splitting a batch row across hosts).
+    Single-process (incl. virtual CPU meshes): a plain device_put, which
+    XLA splits across the addressable devices.
     """
     x = np.asarray(x)
     if jax.process_count() > 1:
-        return jax.make_array_from_process_local_data(sharding, x)
+        return jax.make_array_from_callback(x.shape, sharding,
+                                            lambda idx: x[idx])
     return jax.device_put(x, sharding)

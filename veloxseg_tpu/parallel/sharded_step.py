@@ -10,7 +10,6 @@ the gradient all-reduce (over ``data``) and conv halo exchanges (over
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -149,9 +149,14 @@ def run_train(args, train_config: dict, model_config: dict) -> dict:
     save_path = os.path.join(train_config["save_path"], args.dataset_name,
                              args.model_name, date + index)
     os.makedirs(save_path, exist_ok=True)
+    # Multi-process (``--distributed``): every process runs the identical
+    # program on identical host data (parallel/distributed.py); only
+    # process 0 logs, writes TensorBoard and saves checkpoints.
+    rank = jax.process_index()
     logger = get_logger(os.path.join(
         train_config.get("log_path", save_path),
-        f"{args.dataset_name}_{args.model_name}_{date}{index}.log"))
+        f"{args.dataset_name}_{args.model_name}_{date}{index}.log"),
+        rank=rank)
     logger.info(f"Checkpoint Save path: {save_path}")
     logger.info(f"Now Model Config: \n{model_config[args.model_name]}\n")
 
@@ -341,22 +346,33 @@ def run_train(args, train_config: dict, model_config: dict) -> dict:
         sharded_eval = make_sharded_eval_step(mesh, model.apply,
                                               spatial_shard=spatial_shard)
 
-    try:
-        from torch.utils.tensorboard import SummaryWriter
-        writer = SummaryWriter(os.path.join(save_path, "logs"))
-    except Exception:   # pragma: no cover - tensorboard optional
-        writer = None
+    writer = None
+    if rank == 0:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            writer = SummaryWriter(os.path.join(save_path, "logs"))
+        except Exception:   # pragma: no cover - tensorboard optional
+            writer = None
 
     # Checkpoint writes: ``async_checkpoint`` in the train config switches
     # to non-blocking Orbax directory checkpoints (preemption recovery,
     # SURVEY §5); default is the reference-parity synchronous msgpack file.
+    # Multi-process: the state is replicated, so process 0 writes the
+    # msgpack file alone (the Orbax async path is single-process — its
+    # committing protocol would need all-process participation).
     async_writer = None
     if train_config.get("async_checkpoint"):
-        from .orbax_ckpt import AsyncCheckpointWriter
-        async_writer = AsyncCheckpointWriter()
-        logger.info("async (Orbax) checkpointing enabled")
+        if jax.process_count() == 1:
+            from .orbax_ckpt import AsyncCheckpointWriter
+            async_writer = AsyncCheckpointWriter()
+            logger.info("async (Orbax) checkpointing enabled")
+        else:
+            logger.info("async_checkpoint ignored under --distributed; "
+                        "process 0 writes synchronous msgpack checkpoints")
 
     def save_ckpt(name: str, epoch: int) -> None:
+        if rank != 0:
+            return
         kwargs = dict(epoch=epoch, best_train_dice=best_train_dice,
                       best_val_dice=best_val_dice,
                       scheduler_state=scheduler.state_dict())
