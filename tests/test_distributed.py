@@ -87,3 +87,84 @@ def test_two_process_step_matches_single_process():
 
     assert losses[0] == pytest.approx(losses[1], abs=1e-6)
     assert losses[0] == pytest.approx(_single_process_loss(), rel=2e-3)
+
+
+def test_two_process_cli_train_e2e(tmp_path):
+    """run_train --distributed end-to-end on a 2-process CPU cluster:
+    rank-gated logging/checkpointing, the shared (unsharded) loaders
+    feeding global batches through make_array_from_callback, the sharded
+    train/val loops, and identical training decisions on every rank."""
+    import glob as _glob
+    import json
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from make_fixtures import make_autopet_fixtures
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = str(tmp_path)
+    globs = make_autopet_fixtures(os.path.join(root, "data"), n_cases=5)
+    train_config = {
+        "patch_size": {"AutoPETII": [32, 32, 32]},
+        "spacing": {"AutoPETII": [1, 1, 1]},
+        "batch_size": 1,
+        "deep_Loss_weight": [1, 1, 1, 1],
+        "RC_Loss_weight": 0.5, "Feature_Loss_weight": 2.0,
+        "train_rate": 0.6, "val_rate": 0.2,
+        "epochs": 1, "show_deep_metric": False,
+        "save_model_interval": 1, "val_interval": 1,
+        "optimizer": {"optimizer_type": "adamw",
+                      "optimizer_args": {"lr": 1e-3,
+                                         "weight_decay": 0.01}},
+        "warmup_scheduler": {"enabled": True, "warmup_epochs": 1},
+        "train_scheduler": {"scheduler_type": "cosine_annealing",
+                            "scheduler_args": {"epochs": 1,
+                                               "min_lr": 1e-5}},
+        "save_path": os.path.join(root, "save"),
+        "log_path": os.path.join(root, "logs"),
+        "dataset_path": {"AutoPETII": globs},
+    }
+    from veloxseg_tpu.parallel.dryrun import micro_config
+    model_config = {"VeloxSeg": {
+        k: (list(v) if isinstance(v, tuple) else v)
+        for k, v in micro_config().to_dict().items()}}
+    paths = {}
+    for key, data in (("train_config", train_config),
+                      ("model_config", model_config)):
+        p = os.path.join(root, key + ".json")
+        with open(p, "w") as f:
+            json.dump(data, f)
+        paths[key] = p
+    ws_path = os.path.join(root, "ws.json")
+    with open(ws_path, "w") as f:
+        json.dump(paths, f)
+
+    worker = os.path.join(repo, "tests", "_dist_cli_worker.py")
+    env = {**os.environ, "PYTHONPATH": repo}
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(i), "2", "12758", ws_path],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, cwd=repo) for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=2400)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    results = []
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
+        marks = [ln for ln in out.splitlines() if ln.startswith("RESULT ")]
+        assert marks, f"worker {i} printed no result:\n{out[-4000:]}"
+        results.append(json.loads(marks[0][len("RESULT "):]))
+
+    # every rank took identical training decisions...
+    assert results[0]["best_train_dice"] == pytest.approx(
+        results[1]["best_train_dice"], abs=1e-9)
+    assert np.isfinite(results[0]["best_train_dice"])
+    # ...and only rank 0 wrote checkpoints (same save_path on this host)
+    assert {r["rank"] for r in results} == {0, 1}
+    ckpts = _glob.glob(os.path.join(results[0]["save_path"], "*.ckpt"))
+    assert any(c.endswith("train_best.ckpt") for c in ckpts), ckpts

@@ -33,25 +33,36 @@ def initialize_distributed(spec: Optional[str]) -> None:
     - ``"coordinator=HOST:PORT,num_processes=N,process_id=I"`` →
       explicit cluster (manual launches; the CPU multi-process tests).
 
-    Must be called before any JAX backend initialization.
+    Must be called before any JAX backend initialization. Idempotent:
+    a second call in an already-initialized process is a no-op (e.g. a
+    launcher initialized the runtime before invoking the CLI).
     """
     if not spec:
         return
     import jax
 
-    if spec == "auto":
-        jax.distributed.initialize()
-        return
+    try:
+        from jax._src.distributed import global_state
+        if getattr(global_state, "client", None) is not None:
+            return  # a launcher already initialized this process
+    except ImportError:  # pragma: no cover - jax internals moved
+        pass
     kw = {}
-    for part in spec.split(","):
-        k, _, v = part.partition("=")
-        k = k.strip()
-        if k == "coordinator":
-            kw["coordinator_address"] = v
-        elif k in ("num_processes", "process_id"):
-            kw[k] = int(v)
-        else:
-            raise ValueError(
-                f"bad --distributed spec {spec!r}; expected 'auto' or "
-                f"'coordinator=HOST:PORT,num_processes=N,process_id=I'")
-    jax.distributed.initialize(**kw)
+    if spec != "auto":
+        for part in spec.split(","):
+            k, _, v = part.partition("=")
+            k = k.strip()
+            if k == "coordinator":
+                kw["coordinator_address"] = v
+            elif k in ("num_processes", "process_id"):
+                kw[k] = int(v)
+            else:
+                raise ValueError(
+                    f"bad --distributed spec {spec!r}; expected 'auto' or "
+                    f"'coordinator=HOST:PORT,num_processes=N,"
+                    f"process_id=I'")
+    try:
+        jax.distributed.initialize(**kw)
+    except RuntimeError as e:
+        if "already" not in str(e).lower():
+            raise
