@@ -67,6 +67,27 @@ def main():
          "save_path": result["save_path"],
          "rank": jax.process_index()}), flush=True)
 
+    # Leg 2: multi-host whole-volume inference through the test CLI
+    # (tile batch over the global mesh; rank-0-only CSV writes).
+    from veloxseg_tpu.cli.test_main import main as test_main
+    df = test_main([
+        "--dataset_name", "AutoPETII",
+        "--model_name", "VeloxSeg",
+        "--train_config", ws["train_config"],
+        "--model_config", ws["model_config"],
+        "--test_config", ws["test_config"],
+        "--checkpoint_dir", result["save_path"],
+        "--checkpoint_index", "train_best",
+        "--mesh", "data=4,spatial=1",
+        "--distributed",
+        f"coordinator=localhost:{port},num_processes={nproc},"
+        f"process_id={pid}",
+    ])
+    print("TEST_RESULT " + json.dumps(
+        {"n": int(len(df)),
+         "mean_dice": float(df["dice"].mean()) if len(df) else None,
+         "rank": jax.process_index()}), flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -127,9 +127,15 @@ def test_two_process_cli_train_e2e(tmp_path):
     model_config = {"VeloxSeg": {
         k: (list(v) if isinstance(v, tuple) else v)
         for k, v in micro_config().to_dict().items()}}
+    test_config = {
+        "result_metric_path": os.path.join(root, "result", "metric"),
+        "result_pred_path": os.path.join(root, "result", "prediction"),
+        "sliding_window": {"overlap": 0.25},
+    }
     paths = {}
     for key, data in (("train_config", train_config),
-                      ("model_config", model_config)):
+                      ("model_config", model_config),
+                      ("test_config", test_config)):
         p = os.path.join(root, key + ".json")
         with open(p, "w") as f:
             json.dump(data, f)
@@ -168,3 +174,17 @@ def test_two_process_cli_train_e2e(tmp_path):
     assert {r["rank"] for r in results} == {0, 1}
     ckpts = _glob.glob(os.path.join(results[0]["save_path"], "*.ckpt"))
     assert any(c.endswith("train_best.ckpt") for c in ckpts), ckpts
+
+    # Leg 2: multi-host inference (run_test --distributed) produced
+    # identical per-rank metrics and exactly one CSV (rank 0's).
+    tests_res = []
+    for out in outs:
+        marks = [ln for ln in out.splitlines()
+                 if ln.startswith("TEST_RESULT ")]
+        assert marks, f"no TEST_RESULT:\n{out[-4000:]}"
+        tests_res.append(json.loads(marks[0][len("TEST_RESULT "):]))
+    assert tests_res[0]["n"] == tests_res[1]["n"] > 0
+    assert tests_res[0]["mean_dice"] == pytest.approx(
+        tests_res[1]["mean_dice"], abs=1e-9)
+    csvs = _glob.glob(os.path.join(root, "result", "metric", "*.csv"))
+    assert len(csvs) == 1, csvs

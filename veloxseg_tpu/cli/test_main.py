@@ -31,11 +31,20 @@ def build_parser() -> argparse.ArgumentParser:
         help="SPMD device mesh for sliding-window inference: 'auto' or "
              "'data=N[,spatial=M]'. Tiles shard over the data axis. "
              "Default: single device.")
+    parser.add_argument(
+        "--distributed", type=str, default=None,
+        help="multi-host runtime init: 'auto' (TPU pod auto-detection) or "
+             "'coordinator=HOST:PORT,num_processes=N,process_id=I'. "
+             "Combine with --mesh over the GLOBAL device set.")
     return parser
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if getattr(args, "distributed", None):
+        # must run before any JAX backend use
+        from ..parallel.distributed import initialize_distributed
+        initialize_distributed(args.distributed)
     with open(args.train_config, "r", encoding="utf-8") as f:
         train_config = json.load(f)
     with open(args.model_config, "r", encoding="utf-8") as f:

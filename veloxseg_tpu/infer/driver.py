@@ -63,9 +63,12 @@ def _resolve_checkpoint(args, train_config) -> str:
 def run_inference(args, train_config: dict, model_config: dict,
                   test_config: dict) -> pd.DataFrame:
     profile = PROFILES[args.dataset_name]
+    # Multi-process (``--distributed``): every process runs the same
+    # volumes; only process 0 logs and writes CSV/NIfTI artifacts.
+    rank = jax.process_index()
     logger = get_logger(os.path.join(
         test_config.get("result_metric_path", "./result/metric"),
-        f"test_{args.dataset_name}_{args.model_name}.log"))
+        f"test_{args.dataset_name}_{args.model_name}.log"), rank=rank)
 
     in_ch = model_config[args.model_name].get("in_ch", [1, 1])
     modal_index = validate_selected_modal(
@@ -135,6 +138,8 @@ def run_inference(args, train_config: dict, model_config: dict,
         elapsed = time.time() - t0
 
         if getattr(args, "specific_sample", None) is not None:
+            if rank != 0:
+                continue
             os.makedirs(pred_dir, exist_ok=True)
             base = volume_name.replace(".nii.gz", "").replace(".nii", "")
             for (k, on), v in zip(
@@ -183,7 +188,7 @@ def run_inference(args, train_config: dict, model_config: dict,
         rows.append(row)
 
     df = pd.DataFrame(rows)
-    if len(df):
+    if len(df) and rank == 0:
         metric_dir = test_config.get("result_metric_path",
                                      "./result/metric")
         os.makedirs(metric_dir, exist_ok=True)
