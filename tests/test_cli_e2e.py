@@ -233,6 +233,198 @@ def test_train_async_checkpoint_and_resume(workspace):
     assert np.isfinite(result2["best_train_dice"])
 
 
+def test_train_then_test_cli_brats(tmp_path_factory):
+    """BraTS2021 profile end-to-end: 4-modality single-branch input
+    (`in_ch=[4]` → one patch-embed, one teacher decoder), multi-class
+    labels kept {0,1,2,3}, ET/TC/WT dice reporting, and the
+    `--specific_sample` region-mask export (reference
+    `utils/train_brats2021.py`, `utils/inference_brats.py:210-251`)."""
+    from tests.make_fixtures import make_brats_fixtures
+
+    root = str(tmp_path_factory.mktemp("e2e_brats"))
+    globs = make_brats_fixtures(os.path.join(root, "data"), n_cases=5)
+
+    model = {"VeloxSeg": {
+        "input_size": [32, 32, 32], "patch_size": 4, "in_ch": [4],
+        "n_classes": 4, "base_ch": 8, "attn_base_ch": 8,
+        "conv_depths": [1, 1, 1, 1], "kernel_sizes": [1, 3, 5],
+        "min_dim_group": [4, 8, 8, 16],
+        "conv_expansion_factor": [3, 3, 2, 2], "depths": [1, 1, 1, 1],
+        "min_big_window_sizes": [[2, 2, 2], [2, 2, 2], [2, 2, 2],
+                                 [1, 1, 1]],
+        "min_small_window_sizes": [[1, 1, 1]] * 4,
+        "min_dim_head": [4, 8, 8, 16], "ffn_expansion_ratio": [3, 3, 2, 2],
+        "num_heads": [1, 2, 2, 4], "proj_drop": 0.1, "conv_drop": 0.1,
+        "spatial_dim": 3,
+    }}
+    train_config = {
+        "patch_size": {"BraTS2021": [32, 32, 32]},
+        "spacing": {"BraTS2021": [1, 1, 1]},
+        "batch_size": 1,
+        "deep_Loss_weight": [1, 1, 1, 1],
+        "RC_Loss_weight": 0.5,
+        "Feature_Loss_weight": 2.0,
+        "train_rate": 0.6,
+        "val_rate": 0.2,
+        "epochs": 1,
+        "save_model_interval": 1,
+        "val_interval": 1,
+        "optimizer": {"optimizer_type": "adamw",
+                      "optimizer_args": {"lr": 1e-3,
+                                         "weight_decay": 0.01}},
+        "warmup_scheduler": {"enabled": False},
+        "train_scheduler": {"scheduler_type": "cosine_annealing",
+                            "scheduler_args": {"epochs": 1,
+                                               "min_lr": 1e-5}},
+        "save_path": os.path.join(root, "save"),
+        "log_path": os.path.join(root, "logs"),
+        "dataset_path": {"BraTS2021": globs},
+    }
+    test_config = {
+        "result_metric_path": os.path.join(root, "result", "metric"),
+        "result_pred_path": os.path.join(root, "result", "prediction"),
+        "sliding_window": {"overlap": 0.25},
+    }
+    paths = {}
+    for name, data in (("train.json", train_config),
+                       ("models.json", model),
+                       ("test.json", test_config)):
+        p = os.path.join(root, name)
+        with open(p, "w") as f:
+            json.dump(data, f)
+        paths[name] = p
+
+    from veloxseg_tpu.cli.train_main import main as train_main
+    result = train_main([
+        "--dataset_name", "BraTS2021",
+        "--model_name", "VeloxSeg",
+        "--train_config", paths["train.json"],
+        "--model_config", paths["models.json"],
+        "--num_workers", "2",
+        "--model_index", "b0",
+    ])
+    save_path = result["save_path"]
+    assert "train_best.ckpt" in os.listdir(save_path)
+    assert np.isfinite(result["best_train_dice"])
+
+    from veloxseg_tpu.cli.test_main import main as test_main
+    common = [
+        "--dataset_name", "BraTS2021",
+        "--model_name", "VeloxSeg",
+        "--train_config", paths["train.json"],
+        "--model_config", paths["models.json"],
+        "--test_config", paths["test.json"],
+        "--checkpoint_dir", save_path,
+        "--checkpoint_index", "train_best",
+        "--sw_batch_size", "2",
+    ]
+    df = test_main(common + ["--use_hd95", "1"])
+    assert len(df) == 1  # 5 cases * 20% test split
+    for col in ("dice_et", "dice_tc", "dice_wt", "dice_avg",
+                "hd95_et", "hd95_tc", "hd95_wt"):
+        assert col in df.columns, df.columns
+    assert 0.0 <= float(df["dice_avg"].iloc[0]) <= 1.0
+    csvs = glob.glob(os.path.join(root, "result", "metric", "*.csv"))
+    assert csvs, "metrics CSV not written"
+
+    # --specific_sample exports all modalities + prediction + the three
+    # region masks instead of metrics (inference_brats.py:221-251).
+    df2 = test_main(common + ["--specific_sample", "0"])
+    assert len(df2) == 0
+    preds = os.listdir(os.path.join(root, "result", "prediction"))
+    for suffix in ("_pred", "_et", "_tc", "_wt",
+                   "_flair", "_t1", "_t1ce", "_t2"):
+        assert any(p.endswith(f"{suffix}.nii.gz") for p in preds), (
+            suffix, preds)
+
+
+def test_train_then_test_cli_hecktor(tmp_path_factory):
+    """Hecktor2022 profile end-to-end: anisotropic patches (the
+    reference trains Hecktor at 128×128×64 with [4,4,2]-shaped windows,
+    `config/models_config_hecktor2022.json`), no foreground crop
+    (`utils/train_hecktor.py:135-136`), ct+pet modality order."""
+    root = str(tmp_path_factory.mktemp("e2e_hecktor"))
+    globs = make_autopet_fixtures(os.path.join(root, "data"), n_cases=5)
+
+    model = {"VeloxSeg": {
+        "input_size": [32, 32, 16], "patch_size": 4, "in_ch": [1, 1],
+        "n_classes": 2, "base_ch": 8, "attn_base_ch": 8,
+        "conv_depths": [1, 1], "kernel_sizes": [1, 3],
+        "min_dim_group": [4, 8], "conv_expansion_factor": [2, 2],
+        "depths": [1, 1],
+        "min_big_window_sizes": [[4, 4, 2], [2, 2, 1]],
+        "min_small_window_sizes": [[1, 1, 1], [1, 1, 1]],
+        "min_dim_head": [4, 8], "scale_factors": [2, 2],
+        "num_heads": [1, 2], "ffn_expansion_ratio": [2, 2],
+        "spatial_dim": 3,
+    }}
+    train_config = {
+        "patch_size": {"Hecktor2022": [32, 32, 16]},
+        "spacing": {"Hecktor2022": [1, 1, 1]},
+        "batch_size": 1,
+        "deep_Loss_weight": [1, 1],
+        "RC_Loss_weight": 0.5,
+        "Feature_Loss_weight": 2.0,
+        "train_rate": 0.6,
+        "val_rate": 0.2,
+        "epochs": 1,
+        "save_model_interval": 1,
+        "val_interval": 1,
+        "optimizer": {"optimizer_type": "adamw",
+                      "optimizer_args": {"lr": 1e-3,
+                                         "weight_decay": 0.01}},
+        "warmup_scheduler": {"enabled": False},
+        "train_scheduler": {"scheduler_type": "cosine_annealing",
+                            "scheduler_args": {"epochs": 1,
+                                               "min_lr": 1e-5}},
+        "save_path": os.path.join(root, "save"),
+        "log_path": os.path.join(root, "logs"),
+        "dataset_path": {"Hecktor2022": {
+            "ct_path": globs["ct_path"], "pet_path": globs["pet_path"],
+            "label_path": globs["label_path"]}},
+    }
+    test_config = {
+        "result_metric_path": os.path.join(root, "result", "metric"),
+        "result_pred_path": os.path.join(root, "result", "prediction"),
+        "sliding_window": {"overlap": 0.25},
+    }
+    paths = {}
+    for name, data in (("train.json", train_config),
+                       ("models.json", model),
+                       ("test.json", test_config)):
+        p = os.path.join(root, name)
+        with open(p, "w") as f:
+            json.dump(data, f)
+        paths[name] = p
+
+    from veloxseg_tpu.cli.train_main import main as train_main
+    result = train_main([
+        "--dataset_name", "Hecktor2022",
+        "--model_name", "VeloxSeg",
+        "--train_config", paths["train.json"],
+        "--model_config", paths["models.json"],
+        "--num_workers", "2",
+        "--model_index", "h0",
+    ])
+    save_path = result["save_path"]
+    assert "train_best.ckpt" in os.listdir(save_path)
+    assert np.isfinite(result["best_train_dice"])
+
+    from veloxseg_tpu.cli.test_main import main as test_main
+    df = test_main([
+        "--dataset_name", "Hecktor2022",
+        "--model_name", "VeloxSeg",
+        "--train_config", paths["train.json"],
+        "--model_config", paths["models.json"],
+        "--test_config", paths["test.json"],
+        "--checkpoint_dir", save_path,
+        "--checkpoint_index", "train_best",
+        "--sw_batch_size", "2",
+    ])
+    assert len(df) == 1
+    assert 0.0 <= float(df["dice"].iloc[0]) <= 1.0
+
+
 def test_speed_cli_device_loop(tmp_path, monkeypatch):
     """`speed_test.py --devices default,cpu` — the reference's
     [cuda, cpu] device loop (`speed_test.py:58-69`). Shrunk protocol

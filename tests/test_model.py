@@ -89,6 +89,28 @@ def test_single_modality_brats_style():
     assert outs[4].shape == (1, 32, 32, 32, 4)
 
 
+def test_anisotropic_hecktor_style():
+    """Hecktor trains at 128×128×64 with [4,4,2]-shaped windows
+    (``config/models_config_hecktor2022.json``). Anisotropic input,
+    window, and patch-merging paths through the full model."""
+    cfg = TINY.replace(
+        input_size=(64, 64, 32),
+        min_big_window_sizes=((4, 4, 2), (4, 4, 2), (2, 2, 1), (2, 2, 1)),
+    )
+    model = VeloxSeg(cfg)
+    x = jnp.ones((1, 64, 64, 32, 2))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0),
+         "dropout": jax.random.PRNGKey(42)}, x, train=True)
+    y = model.apply(params, x, train=False)
+    assert y.shape == (1, 64, 64, 32, 2)
+    outs = model.apply(params, x, train=True,
+                       rngs={"dropout": jax.random.PRNGKey(1)})
+    assert outs[4].shape == (1, 64, 64, 32, 2)  # recons
+    for o in outs:
+        assert np.isfinite(np.asarray(o)).all()
+
+
 def test_param_count_autopet_config():
     """Reference reports 1.66 M params for the AutoPET config
     (``README.md:213``). thop profiles the eval forward, which excludes the

@@ -179,6 +179,8 @@ def window_attention(q, k, v, bias, scale: float) -> jnp.ndarray:
     """Fused on TPU, einsum elsewhere. Deterministic (no attn dropout) —
     callers that need weight dropout use :func:`window_attention_train`
     or the XLA path in nn/pwa.py."""
+    if _PORTABLE_ONLY:
+        return window_attention_xla(q, k, v, bias, scale)
     on_tpu = _target_platform() == "tpu"
     if (on_tpu or _FORCE_INTERPRET) and eval_fits_vmem(q.shape[-2]):
         try:
@@ -702,7 +704,24 @@ window_attention_train.defvjp(_wat_fwd, _wat_bwd)
 
 _TRAIN_FUSED = True
 _FORCE_INTERPRET = False
+_PORTABLE_ONLY = False
 _SPMD_MESH: Optional[object] = None
+
+
+@contextlib.contextmanager
+def portable_scope():
+    """While active, attention dispatch never emits a Pallas (Mosaic)
+    custom call — pure StableHLO only. Used by :mod:`..infer.export` so
+    serialized serving artifacts stay platform-portable and stable across
+    jaxlib versions (jax.export flags non-stable custom calls); XLA
+    re-fuses the einsum+softmax chain at artifact compile time."""
+    global _PORTABLE_ONLY
+    prev = _PORTABLE_ONLY
+    _PORTABLE_ONLY = True
+    try:
+        yield
+    finally:
+        _PORTABLE_ONLY = prev
 
 
 def set_train_fused(enabled: bool) -> None:
@@ -746,5 +765,6 @@ def train_fused_enabled(tokens: int = 0) -> bool:
     levels whose windows exceed every fused backward's VMEM fit stay on
     the XLA path."""
     return (_TRAIN_FUSED
+            and not _PORTABLE_ONLY
             and (_target_platform() == "tpu" or force_interpret())
             and (tokens == 0 or train_fits_vmem(tokens)))
