@@ -425,6 +425,73 @@ def test_train_then_test_cli_hecktor(tmp_path_factory):
     assert 0.0 <= float(df["dice"].iloc[0]) <= 1.0
 
 
+ZOO_E2E_CONFIGS = {
+    # default loss branch (single logits output)
+    "MedNeXt": {"num_input_channels": 2, "num_classes": 2},
+    # deep-supervised list output → the UNETRpp loss branch
+    # (train/loss.py) + per-head metric_outputs inside the real loop
+    "UNETRpp": {"in_channels": 2, "out_channels": 2,
+                "patch_size": [32, 32, 32], "feature_size": 4,
+                "num_heads": 2, "depths": [1, 1, 1, 1],
+                "dims": [8, 16, 32, 64], "do_ds": True},
+    # grouped deep outputs → the A2FSeg loss branch (num_pool=5 is the
+    # reference's fixed depth; the grouped-loss contract hardcodes it)
+    "A2FSeg": {"modality_num": 2, "base_num_features": 4,
+               "num_classes": 2, "num_pool": 5},
+}
+
+
+@pytest.mark.parametrize("model_name", sorted(ZOO_E2E_CONFIGS))
+def test_train_then_test_cli_zoo(workspace, model_name):
+    """Non-VeloxSeg registry models through the SAME CLI drivers the
+    reference uses for its zoo (`utils/load_model.py:26-72` +
+    `utils/loss.py:68-80`): run_train exercises the model-specific
+    CompositeLoss branch and metric_outputs inside the real train loop,
+    then run_test sliding-windows the trained checkpoint."""
+    import json as _json
+
+    root, paths = workspace
+    models = {model_name: ZOO_E2E_CONFIGS[model_name]}
+    with open(paths["train.json"]) as f:
+        tc = _json.load(f)
+    tc["epochs"] = 1
+    tc["save_path"] = os.path.join(root, f"save_zoo_{model_name}")
+    zpaths = {}
+    for name, data in ((f"train_{model_name}.json", tc),
+                       (f"models_{model_name}.json", models)):
+        p = os.path.join(root, name)
+        with open(p, "w") as f:
+            _json.dump(data, f)
+        zpaths[name] = p
+
+    from veloxseg_tpu.cli.train_main import main as train_main
+    result = train_main([
+        "--dataset_name", "AutoPETII",
+        "--model_name", model_name,
+        "--train_config", zpaths[f"train_{model_name}.json"],
+        "--model_config", zpaths[f"models_{model_name}.json"],
+        "--num_workers", "2",
+        "--model_index", f"zoo_{model_name}",
+    ])
+    save_path = result["save_path"]
+    assert "train_best.ckpt" in os.listdir(save_path)
+    assert np.isfinite(result["best_train_dice"])
+
+    from veloxseg_tpu.cli.test_main import main as test_main
+    df = test_main([
+        "--dataset_name", "AutoPETII",
+        "--model_name", model_name,
+        "--train_config", zpaths[f"train_{model_name}.json"],
+        "--model_config", zpaths[f"models_{model_name}.json"],
+        "--test_config", paths["test.json"],
+        "--checkpoint_dir", save_path,
+        "--checkpoint_index", "train_best",
+        "--sw_batch_size", "2",
+    ])
+    assert len(df) == 1
+    assert 0.0 <= float(df["dice"].iloc[0]) <= 1.0
+
+
 def test_speed_cli_device_loop(tmp_path, monkeypatch):
     """`speed_test.py --devices default,cpu` — the reference's
     [cuda, cpu] device loop (`speed_test.py:58-69`). Shrunk protocol

