@@ -7,26 +7,41 @@ on one chip, compared against the reference's published 599.06 patches/s
 the north star explicitly asks for ≥3× that figure measured fwd+bwd at
 128³, see BASELINE.md).
 
-Prints ONE JSON line; secondary metrics (the reference-protocol
-forward-only run) go to stderr. Run with --fwd-only for just the
-reference protocol.
+ALL timing goes through ``veloxseg_tpu.utils.benchmarking`` — windows of
+N dispatches bounded by a true execution barrier (a value fetch of a
+probe computed from the last output), never per-iteration
+``block_until_ready`` (which on this tunneled backend can return before
+execution — see PERF_NOTES "Round-3 fencing bug"; rounds 1–3 published
+physically impossible numbers because of it). Next to every rate we
+report the XLA cost-analysis FLOPs and the implied MFU against the
+chip's bf16 peak; an implied MFU > 100% fails the run loudly instead of
+publishing nonsense.
 
-Protocol: bf16 compute / fp32 master params, batch 16, jitted+donated
-train step, ~3 s warmup + ~10 s timed.
+Protocol mirror of the reference: ``speed_test.py:102-134`` (10 s warmup
++ 60 s timed with a ``torch.cuda.synchronize`` per iteration — a true
+barrier; ours is the window-final fence, equivalent but cheaper).
+
+Protocol: bf16 compute / fp32 master params, jitted+donated train step,
+median of 3 fenced windows.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
+from veloxseg_tpu.utils.benchmarking import median_rate
+
 BASELINE_GPU_PATCHES_PER_S = 599.06
-WARMUP_S = 3.0
-TIMED_S = 10.0
+WINDOW_S = 8.0
+# bf16 peak of the benching chip (TPU v5e ≈ 197 TFLOP/s); override for
+# other chips via env.
+PEAK_FLOPS = float(os.environ.get("VELOXSEG_PEAK_FLOPS", 197e12))
 
 
 def _cast_tree(tree, dtype):
@@ -48,6 +63,35 @@ def _flagship(size):
     return VeloxSeg(cfg), cfg
 
 
+def _program_flops(jitted, *args):
+    """XLA cost-analysis FLOPs for one execution of ``jitted(*args)``."""
+    try:
+        analysis = jitted.lower(*args).compile().cost_analysis()
+        if analysis and "flops" in analysis:
+            return float(analysis["flops"])
+    except Exception:
+        pass
+    return None
+
+
+def _mfu(rate_iters_per_s, flops_per_iter):
+    if not flops_per_iter:
+        return None
+    return rate_iters_per_s * flops_per_iter / PEAK_FLOPS
+
+
+def _report(tag, rate, unit, mfu):
+    msg = f"{tag}: {rate:.2f} {unit}"
+    if mfu is not None:
+        msg += f"  (achieved {mfu * PEAK_FLOPS / 1e12:.1f} TF/s, " \
+               f"MFU {mfu * 100:.1f}%)"
+    print(msg, file=sys.stderr)
+    if mfu is not None and mfu > 1.0:
+        raise RuntimeError(
+            f"implied MFU {mfu*100:.0f}% exceeds chip peak — timing fence "
+            f"broken, refusing to publish (see PERF_NOTES round-3 bug)")
+
+
 def bench_forward(batch=16, size=(96, 96, 96), channels=2):
     model, cfg = _flagship(size)
     rng = jax.random.PRNGKey(0)
@@ -61,38 +105,23 @@ def bench_forward(batch=16, size=(96, 96, 96), channels=2):
     def fwd(params, x):
         return model.apply({"params": params}, x, train=False)
 
-    jax.block_until_ready(fwd(params, x))
-    t0 = time.perf_counter()
-    while time.perf_counter() - t0 < WARMUP_S:
-        jax.block_until_ready(fwd(params, x))
-    iters = 0
-    t0 = time.perf_counter()
-    while True:
-        jax.block_until_ready(fwd(params, x))
-        iters += 1
-        dt = time.perf_counter() - t0
-        if dt >= TIMED_S:
-            break
-    return batch * iters / dt
+    flops = _program_flops(fwd, params, x)
+    rate = median_rate(lambda: fwd(params, x), batch,
+                       windows=3, seconds=WINDOW_S)
+    mfu = _mfu(rate / batch, flops)
+    _report(f"eval fwd {size[0]}^3 bs{batch}", rate, "patches/s", mfu)
+    return rate, mfu, flops
 
 
-def bench_train(batch=32, size=(128, 128, 128), channels=2, windows=1,
+def bench_train(batch=16, size=(128, 128, 128), channels=2,
                 steps_per_dispatch=1):
-    """Train-step throughput (fwd+bwd+opt, full composite loss).
-
-    ``windows`` > 1 → run that many back-to-back timed windows and return
-    the median (the tunneled chip shows real minute-scale throughput
-    variance — BENCH_r02 vs the builder's own logs; median-of-N in one
-    process is the stable protocol). Batch 32 ≈ the fixed per-step
-    dispatch overhead amortized: step time is nearly flat in batch on
-    this host (PERF_NOTES round 3), so 32 roughly doubles patches/s over
-    16; 48+ fails to compile (HBM).
+    """Train-step throughput (fwd+bwd+opt, full composite loss), fenced.
 
     ``steps_per_dispatch`` K>1 uses the trainer's multi-step path
     (``train_multi_step_fn``: lax.scan over K full optimizer steps on K
-    distinct resident batches per dispatch) — amortizes the host
-    dispatch floor exactly as ``steps_per_dispatch`` does in the real
-    train loop.
+    distinct resident batches per dispatch) — kept as a secondary
+    protocol; under honest fencing its benefit is limited to genuine
+    host-dispatch overlap, not the phantom 1.9× round 3 reported.
     """
     import numpy as np
     from veloxseg_tpu.train.loss import CompositeLoss
@@ -105,18 +134,12 @@ def bench_train(batch=32, size=(128, 128, 128), channels=2, windows=1,
     key = jax.random.PRNGKey(0)
     rng = np.random.default_rng(0)
     k = steps_per_dispatch
-    if k > 1:
-        x = jnp.asarray(rng.standard_normal((k, batch, *size, channels)),
-                        dtype=jnp.float32)
-        y = jnp.asarray((rng.standard_normal((k, batch, *size)) > 1.2),
-                        dtype=jnp.int32)
-        x0 = x[0, :1]
-    else:
-        x = jnp.asarray(rng.standard_normal((batch, *size, channels)),
-                        dtype=jnp.float32)
-        y = jnp.asarray((rng.standard_normal((batch, *size)) > 1.2),
-                        dtype=jnp.int32)
-        x0 = x[:1]
+    lead = (k, batch) if k > 1 else (batch,)
+    x = jnp.asarray(rng.standard_normal((*lead, *size, channels)),
+                    dtype=jnp.float32)
+    y = jnp.asarray((rng.standard_normal((*lead, *size)) > 1.2),
+                    dtype=jnp.int32)
+    x0 = x[(0, slice(0, 1)) if k > 1 else slice(0, 1)]
     variables = jax.jit(model.init, static_argnames="train")(
         {"params": key, "dropout": key}, x0, train=True)
     tcfg = {"deep_Loss_weight": [1, 1, 1, 1], "RC_Loss_weight": 0.5,
@@ -131,28 +154,27 @@ def bench_train(batch=32, size=(128, 128, 128), channels=2, windows=1,
     else:
         step = train_step_fn(loss_obj, compute_dtype=jnp.bfloat16)
 
-    state, aux = step(state, x, y, key)
-    jax.block_until_ready(aux["loss"])
-    t0 = time.perf_counter()
-    while time.perf_counter() - t0 < WARMUP_S:
-        state, aux = step(state, x, y, key)
-        jax.block_until_ready(aux["loss"])
-    results = []
-    for _ in range(windows):
-        iters = 0
-        t0 = time.perf_counter()
-        while True:
-            state, aux = step(state, x, y, key)
-            iters += 1
-            if iters % 10 == 0 or k > 1:
-                jax.block_until_ready(aux["loss"])
-                if time.perf_counter() - t0 >= TIMED_S:
-                    break
-        jax.block_until_ready(aux["loss"])
-        dt = time.perf_counter() - t0
-        results.append(k * batch * iters / dt)
-    results.sort()
-    return results[len(results) // 2]
+    holder = [state]
+
+    def dispatch():
+        new_state, aux = step(holder[0], x, y, key)
+        holder[0] = new_state
+        return aux["loss"]
+
+    flops = None  # cost_analysis via a fresh lowering (same program)
+    try:
+        from veloxseg_tpu.train.train_state import _train_step_body
+        body = jax.jit(_train_step_body(loss_obj,
+                                        compute_dtype=jnp.bfloat16))
+        if k == 1:
+            flops = _program_flops(body, state, x, y, key)
+    except Exception:
+        pass
+    rate = median_rate(dispatch, k * batch, windows=3, seconds=WINDOW_S)
+    mfu = _mfu(rate / (k * batch), flops / batch if flops else None)
+    _report(f"train fwd+bwd {size[0]}^3 bs{batch} k{k}", rate,
+            "patches/s", mfu)
+    return rate, mfu, flops
 
 
 def bench_sliding_window(size=(192, 192, 192), roi=(96, 96, 96),
@@ -172,95 +194,60 @@ def bench_sliding_window(size=(192, 192, 192), roi=(96, 96, 96),
     def predictor(p, tiles):
         return model.apply({"params": p}, tiles, train=False)
 
-    def one_volume():
-        out = sliding_window_inference(
+    def dispatch():
+        return sliding_window_inference(
             x, roi, sw_batch, predictor, overlap=0.25, mode="constant",
             params=params)
-        jax.block_until_ready(out)
-        return out
 
-    one_volume()  # compile
-    t0 = time.perf_counter()
-    while time.perf_counter() - t0 < WARMUP_S:
-        one_volume()
-    vols = 0
-    t0 = time.perf_counter()
-    while True:
-        one_volume()
-        vols += 1
-        dt = time.perf_counter() - t0
-        if dt >= TIMED_S:
-            break
-    return vols / dt
+    rate = median_rate(dispatch, 1, windows=3, seconds=WINDOW_S)
+    _report("sliding-window 192^3 (96^3 ROI, overlap .25)", rate,
+            "volumes/s", None)
+    return rate
 
 
 def main():
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
     if "--fwd-only" in sys.argv:
-        throughput = bench_forward()
+        throughput, mfu, flops = bench_forward()
         print(json.dumps({
             "metric": "veloxseg_96cube_fwd_patches_per_s",
             "value": round(throughput, 2),
             "unit": "patches/s",
             "vs_baseline": round(throughput / BASELINE_GPU_PATCHES_PER_S,
                                  3),
+            "mfu": round(mfu, 4) if mfu else None,
         }))
         return
-    # Headline FIRST (median of 3 timed windows) — round 2 ran it last
-    # and recorded a number depressed by same-process predecessor benches
-    # / chip-state drift (BENCH_r02 7,334 vs the builder's 9,516 log).
-    train_batch = 32
-    try:
-        train = bench_train(batch=train_batch, windows=3)
-    except Exception:
-        train_batch = 16
-        train = bench_train(batch=train_batch, windows=3)
-    print(f"single-dispatch: 128^3 train fwd+bwd bs{train_batch} = "
-          f"{train:.2f} patches/s (median of 3)", file=sys.stderr)
-    # Multi-step dispatch amortization (trainer steps_per_dispatch): the
-    # step is dispatch-bound on this host (PERF_NOTES round 3), so K
-    # scanned optimizer steps per dispatch raise real train throughput.
-    # Falls back through smaller K / batch if the stacked batches exceed
-    # HBM. Headline = best protocol; both values are reported.
+    train, train_mfu, train_flops = bench_train(batch=16)
+    # Multi-step dispatch (trainer steps_per_dispatch): secondary
+    # protocol; reported only if it genuinely beats single-dispatch
+    # under fenced timing.
     multi = 0.0
-    multi_cfg = None
-    for k, b in ((4, train_batch), (2, train_batch), (4, 16)):
-        try:
-            multi = bench_train(batch=b, windows=3, steps_per_dispatch=k)
-            multi_cfg = (k, b)
-            break
-        except Exception as e:
-            print(f"multi-step k={k} bs{b} failed: {type(e).__name__}",
-                  file=sys.stderr)
-    if multi_cfg:
-        print(f"multi-step: 128^3 train fwd+bwd bs{multi_cfg[1]} x "
-              f"{multi_cfg[0]} steps/dispatch = {multi:.2f} patches/s "
-              f"(median of 3)", file=sys.stderr)
-    single = train
-    steps_per_dispatch = 1
-    if multi > train:
-        train = multi
-        train_batch = multi_cfg[1]
-        steps_per_dispatch = multi_cfg[0]
-    print(f"headline: {train:.2f} patches/s", file=sys.stderr)
-    fwd = bench_forward()
-    print(f"secondary: 96^3 eval fwd (reference protocol) = "
-          f"{fwd:.2f} patches/s = "
-          f"{fwd / BASELINE_GPU_PATCHES_PER_S:.1f}x baseline",
-          file=sys.stderr)
+    try:
+        multi, _, _ = bench_train(batch=16, steps_per_dispatch=2)
+    except Exception as e:
+        print(f"multi-step k=2 failed: {type(e).__name__}",
+              file=sys.stderr)
+    headline = max(train, multi)
+    k = 2 if multi > train else 1
+    fwd, fwd_mfu, _ = bench_forward()
     sw = bench_sliding_window()
-    print(f"secondary: sliding-window whole-volume (192^3, 96^3 ROI, "
-          f"overlap .25) = {sw:.2f} volumes/s", file=sys.stderr)
     print(json.dumps({
         "metric": "veloxseg_128cube_train_fwd_bwd_patches_per_s",
-        "value": round(train, 2),
+        "value": round(headline, 2),
         "unit": "patches/s",
-        "vs_baseline": round(train / BASELINE_GPU_PATCHES_PER_S, 3),
-        "train_batch": train_batch,
-        "steps_per_dispatch": steps_per_dispatch,
-        "single_dispatch_patches_per_s": round(single, 2),
+        "vs_baseline": round(headline / BASELINE_GPU_PATCHES_PER_S, 3),
+        "train_batch": 16,
+        "steps_per_dispatch": k,
+        "single_dispatch_patches_per_s": round(train, 2),
+        "train_mfu": round(train_mfu, 4) if train_mfu else None,
+        "train_step_flops_per_patch_g": (
+            round(train_flops / 16 / 1e9, 2) if train_flops else None),
         "sliding_window_volumes_per_s": round(sw, 3),
         "eval_96cube_fwd_patches_per_s": round(fwd, 2),
+        "eval_96cube_fwd_mfu": round(fwd_mfu, 4) if fwd_mfu else None,
+        "timing": "fenced (window-final value fetch; see "
+                  "veloxseg_tpu/utils/benchmarking.py)",
     }))
 
 

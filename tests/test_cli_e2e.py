@@ -515,7 +515,6 @@ def test_speed_cli_device_loop(tmp_path, monkeypatch):
     cfg = tmp_path / "models.json"
     cfg.write_text(_json.dumps(micro))
     monkeypatch.setitem(speed_main.INPUT_SIZE, "AutoPETII", (16, 16, 16, 2))
-    monkeypatch.setattr(speed_main, "T_WARM", 0.1)
     monkeypatch.setattr(speed_main, "T_TIMED", 0.3)
     monkeypatch.setattr(speed_main, "MAX_BS", 2)
 

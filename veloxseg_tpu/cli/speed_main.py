@@ -14,18 +14,18 @@ from __future__ import annotations
 
 import argparse
 import json
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from ..utils.benchmarking import median_rate
 
 INPUT_SIZE = {
     "AutoPETII": (96, 96, 96, 2),
     "Hecktor2022": (128, 128, 64, 2),
     "BraTS2021": (96, 96, 96, 4),
 }
-T_WARM = 3.0
 T_TIMED = 12.0
 MAX_BS = 16
 SKIP = ()  # all implemented models run; reference skips HCMA-UNet/U-RWKV
@@ -77,19 +77,11 @@ def bench_model(name: str, model_config: dict, input_shape,
         return None
     x = jax.random.normal(jax.random.PRNGKey(2), (bs, *input_shape),
                           jnp.bfloat16 if use_bf16 else jnp.float32)
-    jax.block_until_ready(fwd(params, x))
-    t0 = time.perf_counter()
-    while time.perf_counter() - t0 < T_WARM:
-        jax.block_until_ready(fwd(params, x))
-    iters = 0
-    t0 = time.perf_counter()
-    while True:
-        jax.block_until_ready(fwd(params, x))
-        iters += 1
-        dt = time.perf_counter() - t0
-        if dt >= T_TIMED:
-            break
-    throughput = bs * iters / dt
+    # fenced timing (window-final value fetch) — per-iteration
+    # block_until_ready is NOT an execution barrier on the tunneled
+    # backend; see veloxseg_tpu/utils/benchmarking.py.
+    throughput = median_rate(lambda: fwd(params, x), bs, windows=3,
+                             seconds=T_TIMED / 3)
 
     flops = None
     try:
@@ -105,7 +97,10 @@ def bench_model(name: str, model_config: dict, input_shape,
     print(f"{name} {dev} {throughput:.2f} images/s @ batch size {bs}")
     print(f"Params {n_params / 1e6} M")
     if flops:
+        # per-image FLOPs (thop analogue) + achieved rate for an MFU
+        # cross-check by the reader
         print(f"FLOPS: {flops / 1e9} G")
+        print(f"Achieved: {flops * throughput / 1e12:.2f} TFLOP/s")
     return {"model": name, "throughput": throughput, "batch_size": bs,
             "params": n_params, "flops": flops}
 

@@ -20,9 +20,44 @@ from typing import Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..ops import packed_conv
 from ..ops.pixel_shuffle import pixel_shuffle_3d
 from .basic import GroupedConv3d, get_act, he_normal
 from .norms import InstanceNorm
+
+
+class _ConvParams(nn.Module):
+    """Parameter-only stand-in for :class:`GroupedConv3d` — creates the
+    identical ``kernel``/``bias`` params (same shapes, names, init) without
+    running the convolution, so the packed JLC path below shares one
+    checkpoint/optimizer pytree with the unpacked path."""
+
+    features: int
+    kernel_size: Tuple[int, int, int]
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, in_ch: int):
+        kernel = self.param(
+            "kernel", he_normal,
+            (*self.kernel_size, in_ch // self.groups, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+class _DenseParams(nn.Module):
+    """Parameter-only stand-in for ``nn.Dense`` (same shapes/names/init),
+    for the packed JLC channel MLP."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", he_normal,
+                            (self.in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
 
 
 class DownConv(nn.Module):
@@ -80,9 +115,14 @@ class JLC(nn.Module):
     def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
         c = x.shape[-1]
         act = get_act(self.activation)
+        multi = len(self.kernel_sizes) > 1
+
+        if (packed_conv.packable(x.shape[1:4])
+                and max(self.kernel_sizes) <= 5
+                and all(k % 2 == 1 for k in self.kernel_sizes)):
+            return self._packed(x, deterministic, act, multi)
 
         branches = []
-        multi = len(self.kernel_sizes) > 1
         for k in self.kernel_sizes:
             y = GroupedConv3d(
                 features=c, kernel_size=(k, k, k),
@@ -99,6 +139,48 @@ class JLC(nn.Module):
         z = nn.Dense(c, kernel_init=he_normal)(z)
         z = nn.Dropout(self.dropout)(z, deterministic=deterministic)
         return out + z
+
+    def _packed(self, x, deterministic, act, multi):
+        """Space-to-depth execution (see ``ops/packed_conv.py``): the
+        whole block — all kernel-size branches in ONE dense conv, both
+        InstanceNorms, the channel MLP — runs on the 2×-packed grid with
+        every materialized tensor keeping the full 8·C minor dim (narrow
+        views lane-pad ~8× on TPU). Mathematically identical to the
+        unpacked path (same params)."""
+        c = x.shape[-1]
+        nb = len(self.kernel_sizes)
+        weights, biases = [], []
+        for i, k in enumerate(self.kernel_sizes):
+            kern, bias = _ConvParams(
+                features=c, kernel_size=(k, k, k), groups=self.groups,
+                name=f"GroupedConv3d_{i}")(c)
+            weights.append((k, kern.astype(x.dtype)))
+            biases.append(bias)
+        wp = packed_conv.packed_kernel(weights, c, self.groups)
+
+        xp = packed_conv.pack_s2d(x)
+        y = packed_conv.conv_packed(xp, wp)     # (…, nb·8·c) branch-major
+        # bias: per branch, per logical channel, tiled over parity
+        bias_full = jnp.concatenate(
+            [jnp.tile(bb, 8) for bb in biases]).astype(y.dtype)
+        y = y + bias_full
+        if multi:
+            # per-branch IN (per logical channel over spatial+parity) + act
+            y = act(packed_conv.instance_norm_packed(y, c))
+        out = xp + sum(y[..., i * 8 * c:(i + 1) * 8 * c]
+                       for i in range(nb))
+
+        z = packed_conv.instance_norm_packed(out, c)
+        k1, b1 = _DenseParams(c * self.expansion_factor,
+                              in_features=c, name="Dense_0")()
+        k2, b2 = _DenseParams(c, in_features=c * self.expansion_factor,
+                              name="Dense_1")()
+        z = packed_conv.block_diag_dense(z, k1.astype(z.dtype), b1)
+        z = act(z)
+        z = packed_conv.block_diag_dense(z, k2.astype(z.dtype), b2)
+        z = nn.Dropout(self.dropout)(z, deterministic=deterministic)
+        out = out + z
+        return packed_conv.unpack_s2d(out, c)
 
 
 class JLCLayer(nn.Module):

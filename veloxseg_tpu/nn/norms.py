@@ -16,6 +16,7 @@ stay stable.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -38,15 +39,25 @@ class LayerNorm(nn.Module):
 
 
 class InstanceNorm(nn.Module):
-    """Spatial-axes normalization per sample and channel, no affine."""
+    """Spatial-axes normalization per sample and channel, no affine.
+
+    Implemented as two fused fp32 reductions (Σx, Σx²) plus one fused
+    elementwise normalize — never materializing an fp32 copy of the
+    activation (the straightforward ``x.astype(f32)`` two-pass form costs
+    ~30 ms/step of convert copies + reduce fusions at 128³/bs16)."""
 
     eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         axes = tuple(range(1, x.ndim - 1))
-        xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=axes, keepdims=True)
-        var = jnp.mean(jnp.square(xf - mean), axis=axes, keepdims=True)
-        y = (xf - mean) / jnp.sqrt(var + self.eps)
-        return y.astype(x.dtype)
+        count = 1.0
+        for a in axes:
+            count *= x.shape[a]
+        xf = x.astype(jnp.float32)  # fused into the reduces, not stored
+        s1 = jnp.sum(xf, axis=axes, keepdims=True)
+        s2 = jnp.sum(jnp.square(xf), axis=axes, keepdims=True)
+        mean = s1 / count
+        var = s2 / count - jnp.square(mean)
+        scale = jax.lax.rsqrt(jnp.maximum(var, 0.0) + self.eps)
+        return (xf * scale - mean * scale).astype(x.dtype)

@@ -1,0 +1,196 @@
+"""Space-to-depth ("packed") execution of small-channel grouped 3-D convs.
+
+Why this exists
+---------------
+The reference's JLC blocks (``model/components/conv_blocks.py:50-62``) are
+residual sums of parallel *grouped* convolutions (k ∈ {1,3,5}, group size
+``min_dim_group`` = 4–16) over small channel counts (16–128). On the MXU a
+grouped conv with 4 output channels per weight block can use at most
+4/128ths of the systolic array, and XLA's grouped-conv emitter runs these
+shapes at ~0.7–1.7 TF/s (fenced, chip-measured) — they dominate the train
+step (≈192 ms of a 472 ms step at 128³/bs16).
+
+The fix: execute the conv in a 2×2×2 space-to-depth ("packed") layout.
+For even spatial dims, a stride-1 conv with odd k ≤ 5 becomes a k=3 conv
+on the half-resolution grid with 8× the channels; the three kernel sizes
+of a JLC block and all groups merge into ONE dense (8·C → 8·3C) conv
+whose weights are gathered at trace time from the *unchanged* grouped
+parameters (zeros everywhere the grouped/kernel-size structure demands).
+Same math, same parameter pytree, same checkpoints — 10.9× faster
+fwd+bwd at the stage-1 shape (4.2 ms vs 46 ms, raw 123 TF/s, fenced).
+
+Derivation: output voxel p = 2q + r_out needs input taps
+x[p + o - k//2] = x[2(q + t) + r_in] with, per spatial dim,
+``s = r_out + o - k//2``, ``t = s // 2 ∈ {-1,0,1}``, ``r_in = s % 2`` —
+so every (tap, output-parity) pair lands on exactly one (packed-tap,
+input-parity) slot of a 3³ packed kernel, and SAME padding of 1 packed
+block reproduces the original SAME padding of k//2 ≤ 2 voxels.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+from typing import List, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+_ENABLED = os.environ.get("VELOXSEG_PACKED_JLC", "1") != "0"
+
+
+def set_enabled(value: bool) -> None:
+    global _ENABLED
+    _ENABLED = bool(value)
+
+
+def enabled() -> bool:
+    return _ENABLED
+
+
+def pack_s2d(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, D, H, W, C) → (B, D/2, H/2, W/2, 8·C), parity-major packing
+    (packed channel = ((rd·2 + rh)·2 + rw)·C + c)."""
+    b, d, h, w, c = x.shape
+    x = x.reshape(b, d // 2, 2, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return x.reshape(b, d // 2, h // 2, w // 2, 8 * c)
+
+
+def unpack_s2d(x: jnp.ndarray, channels: int) -> jnp.ndarray:
+    """Inverse of :func:`pack_s2d`."""
+    b, d, h, w, _ = x.shape
+    x = x.reshape(b, d, h, w, 2, 2, 2, channels)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return x.reshape(b, 2 * d, 2 * h, 2 * w, channels)
+
+
+@lru_cache(maxsize=None)
+def _scatter_matrix(k: int) -> np.ndarray:
+    """Constant 0/1 matrix (k³, 27·64) scattering a flat (k,k,k) kernel
+    into the packed (3·3·3 taps, rin=8, rout=8) slots, so the whole
+    weight repack is ONE small matmul at trace time (an indexed gather
+    here lowers to tiny loop fusions that cost real milliseconds/step)."""
+    m = np.zeros((k ** 3, 3, 3, 3, 8, 8), np.float32)
+    half = k // 2
+    parities = [(a, b, c) for a in (0, 1) for b in (0, 1) for c in (0, 1)]
+    for td in range(3):
+        for th in range(3):
+            for tw in range(3):
+                for ri, rin in enumerate(parities):
+                    for ro, rout in enumerate(parities):
+                        o = [2 * (t - 1) + rin[d] - rout[d] + half
+                             for d, t in enumerate((td, th, tw))]
+                        if all(0 <= od < k for od in o):
+                            m[(o[0] * k + o[1]) * k + o[2],
+                              td, th, tw, ri, ro] = 1.0
+    return m.reshape(k ** 3, 27 * 64)
+
+
+def _dense_from_grouped(w: jnp.ndarray, in_ch: int,
+                        groups: int) -> jnp.ndarray:
+    """(k,k,k, C_in/G, C_out) grouped weights → (k,k,k, C_in, C_out)
+    block-diagonal dense weights (zeros off the group blocks)."""
+    k = w.shape[0]
+    cg = in_ch // groups
+    out = w.shape[-1]
+    og = np.arange(out) // (out // groups)            # group of each out-ch
+    ci = og[None, :] * cg + np.arange(cg)[:, None]    # (cg, out)
+    oc = np.broadcast_to(np.arange(out)[None, :], ci.shape)
+    dense = jnp.zeros((k, k, k, in_ch, out), w.dtype)
+    return dense.at[:, :, :, ci, oc].set(w)
+
+
+def packed_kernel(weights: Sequence[Tuple[int, jnp.ndarray]], in_ch: int,
+                  groups: int) -> jnp.ndarray:
+    """Merge grouped-conv branch weights into one packed dense kernel.
+
+    ``weights`` — [(k, W_k)] with W_k of shape (k,k,k, C_in/G, C_out); all
+    k odd, k ≤ 5. Returns (3, 3, 3, 8·C_in, n_b·8·C_out): out-channel
+    layout is BRANCH-major with the parity-major stream layout inside
+    each branch block, i.e. packed out-ch = b·(8·C_out) + r_out·C_out + j
+    — so each branch's slice ``y[..., b·8C:(b+1)·8C]`` is itself a valid
+    packed stream (keeps the minor dim ≥ 8·C for TPU lane tiling; a
+    (…, 8, n_b, C) view would pad C up to 128 lanes and run ~10× slower).
+    """
+    dense = [_dense_from_grouped(w, in_ch, groups) for _, w in weights]
+    kmax = max(k for k, _ in weights)
+    padded = []
+    for (k, _), d in zip(weights, dense):
+        p = (kmax - k) // 2
+        padded.append(jnp.pad(d, [(p, p)] * 3 + [(0, 0), (0, 0)]))
+    wd = jnp.concatenate(padded, axis=-1)             # (K,K,K,Cin, nb·Cout)
+    nbc = wd.shape[-1]
+    nb = len(weights)
+    cout = nbc // nb
+    scatter = jnp.asarray(_scatter_matrix(kmax), dtype=wd.dtype)
+    flat = wd.reshape(kmax ** 3, in_ch * nbc)
+    g = (scatter.T @ flat).reshape(3, 3, 3, 8, 8, in_ch, nb, cout)
+    # (3,3,3, rin, Cin, nb, rout, cout) → branch-major out layout
+    g = g.transpose(0, 1, 2, 3, 5, 6, 4, 7)
+    return g.reshape(3, 3, 3, 8 * in_ch, nb * 8 * cout)
+
+
+def conv_packed(xp: jnp.ndarray, wp: jnp.ndarray) -> jnp.ndarray:
+    """Dense SAME conv of a packed stream with a packed kernel."""
+    return lax.conv_general_dilated(
+        xp, wp.astype(xp.dtype), (1, 1, 1), [(1, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+
+def packable(spatial: Sequence[int]) -> bool:
+    return _ENABLED and all(s % 2 == 0 and s >= 2 for s in spatial)
+
+
+def instance_norm_packed(y: jnp.ndarray, channels: int,
+                         eps: float = 1e-5) -> jnp.ndarray:
+    """InstanceNorm of a packed stream — per logical channel over
+    (spatial, parity) — identical statistics to the unpacked per-channel
+    spatial normalization.
+
+    ``y`` is (B, D, H, W, K) with K = n·8·channels for any leading block
+    factor n (branch-major): stats are computed per (block, channel) by
+    reducing the spatial axes first (big tensor → (B, K) in one fused
+    reduce) and folding the 8 parity slots on the small (B, K) tensor —
+    the big tensor is never reshaped to a narrow-minor-dim view (TPU
+    lane-padding poison, see :func:`packed_kernel`)."""
+    b = y.shape[0]
+    k = y.shape[-1]
+    n = k // (8 * channels)
+    xf = y.astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=(1, 2, 3))                   # (B, K)
+    s2 = jnp.sum(jnp.square(xf), axis=(1, 2, 3))       # (B, K)
+    count = float(np.prod(y.shape[1:4]) * 8)
+    s1 = jnp.sum(s1.reshape(b, n, 8, channels), axis=2)
+    s2 = jnp.sum(s2.reshape(b, n, 8, channels), axis=2)
+    mean = s1 / count
+    var = s2 / count - jnp.square(mean)
+    scale = lax.rsqrt(jnp.maximum(var, 0.0) + eps)     # (B, n, channels)
+    shift = mean * scale
+    # broadcast back to the packed layout: (B, n, 1, channels) → (B, K)
+    scale = jnp.broadcast_to(scale[:, :, None, :],
+                             (b, n, 8, channels)).reshape(b, 1, 1, 1, k)
+    shift = jnp.broadcast_to(shift[:, :, None, :],
+                             (b, n, 8, channels)).reshape(b, 1, 1, 1, k)
+    return (xf * scale - shift).astype(y.dtype)
+
+
+def block_diag_dense(x: jnp.ndarray, kernel: jnp.ndarray,
+                     bias: jnp.ndarray | None) -> jnp.ndarray:
+    """Per-parity Dense on a packed stream without unpacking.
+
+    ``x`` (…, 8·cin) parity-major; applies the logical (cin → cout)
+    ``kernel`` independently to each parity slot by expanding it to the
+    block-diagonal (8·cin, 8·cout) matrix (Kronecker with I₈) — an
+    MXU-shaped matmul instead of a lane-padded (…, 8, cin) reshape. 8×
+    raw-FLOP inflation, but these matmuls are bandwidth-bound at JLC
+    widths, so the wall cost is the clean layout's."""
+    cin, cout = kernel.shape
+    eye = jnp.eye(8, dtype=kernel.dtype)
+    big = (eye[:, None, :, None] * kernel[None, :, None, :]
+           ).reshape(8 * cin, 8 * cout)
+    y = x @ big.astype(x.dtype)
+    if bias is not None:
+        y = y + jnp.tile(bias, 8).astype(y.dtype)
+    return y
