@@ -80,6 +80,7 @@ def workspace(tmp_path_factory):
     return root, paths
 
 
+@pytest.mark.full
 def test_train_cli_on_mesh(workspace):
     """`run_train --mesh data=2,spatial=2` end-to-end on the virtual CPU
     mesh — the multi-device path from the CLI (VERDICT r1 item 3). Uses
@@ -168,6 +169,7 @@ def test_train_then_test_cli(workspace):
     assert csvs, "metrics CSV not written"
 
 
+@pytest.mark.full
 def test_train_async_checkpoint_and_resume(workspace):
     """Async (Orbax) checkpointing from the CLI: directory checkpoints
     with the reference taxonomy, then resume from one (VERDICT r1 item 6).
@@ -233,6 +235,7 @@ def test_train_async_checkpoint_and_resume(workspace):
     assert np.isfinite(result2["best_train_dice"])
 
 
+@pytest.mark.full
 def test_train_then_test_cli_brats(tmp_path_factory):
     """BraTS2021 profile end-to-end: 4-modality single-branch input
     (`in_ch=[4]` → one patch-embed, one teacher decoder), multi-class
@@ -338,6 +341,7 @@ def test_train_then_test_cli_brats(tmp_path_factory):
             suffix, preds)
 
 
+@pytest.mark.full
 def test_train_then_test_cli_hecktor(tmp_path_factory):
     """Hecktor2022 profile end-to-end: anisotropic patches (the
     reference trains Hecktor at 128×128×64 with [4,4,2]-shaped windows,
@@ -441,6 +445,7 @@ ZOO_E2E_CONFIGS = {
 }
 
 
+@pytest.mark.full
 @pytest.mark.parametrize("model_name", sorted(ZOO_E2E_CONFIGS))
 def test_train_then_test_cli_zoo(workspace, model_name):
     """Non-VeloxSeg registry models through the SAME CLI drivers the

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.slow  # full-model XLA compiles x3 processes
+pytestmark = [pytest.mark.slow, pytest.mark.full]  # multi-process clusters
 
 _PORT = "12757"
 

@@ -20,7 +20,7 @@ torch = pytest.importorskip("torch")
 from veloxseg_tpu.interop import ref_model  # noqa: E402
 from veloxseg_tpu.interop.torch_import import convert_state_dict  # noqa: E402
 
-pytestmark = [pytest.mark.slow] + (
+pytestmark = [pytest.mark.slow, pytest.mark.full] + (
     [] if ref_model.reference_available()
     else [pytest.mark.skip(reason="reference source tree unavailable")])
 
@@ -311,3 +311,149 @@ def test_adamw_update_rule_matches_torch_exactly():
         np.testing.assert_allclose(
             np.asarray(jparams[str(i)]), tp.detach().numpy(),
             atol=1e-7, rtol=1e-6)
+
+
+def _make_flax_to_torch(sd_template, params_template):
+    """Generic inverse of ``convert_state_dict`` built from the converter
+    itself: convert globally-offset index arrays and read off the
+    permutation. Valid because every conversion transform is a pure
+    re-indexing (verified here: the round-tripped indices must be a
+    permutation of 0..N-1)."""
+    offsets = {}
+    idx_sd = {}
+    total = 0
+    for k, p in sd_template.items():
+        if "relative_position_index" in k:
+            continue
+        n = int(np.prod(tuple(p.shape)))
+        idx_sd[k] = torch.from_numpy(
+            (total + np.arange(n, dtype=np.float64)).reshape(tuple(p.shape)))
+        offsets[k] = (total, tuple(p.shape))
+        total += n
+    idx_tree = convert_state_dict(idx_sd, params_template)
+    leaves = jax.tree_util.tree_leaves(idx_tree)
+    flat_idx = np.concatenate(
+        [np.asarray(a, np.float64).ravel() for a in leaves])
+    flat_idx = np.rint(flat_idx).astype(np.int64)
+    assert np.array_equal(np.sort(flat_idx), np.arange(total)), (
+        "conversion is not a pure permutation")
+
+    def flax_to_torch(tree):
+        vals = np.concatenate(
+            [np.asarray(a, np.float64).ravel()
+             for a in jax.tree_util.tree_leaves(tree)])
+        glob = np.empty(total, np.float64)
+        glob[flat_idx] = vals
+        return {k: glob[o:o + int(np.prod(s))].reshape(s)
+                for k, (o, s) in offsets.items()}
+
+    return flax_to_torch
+
+
+def test_multi_step_training_dynamics_parity(models_and_input):
+    """VERDICT r3 item 5: K=3-step trajectory parity on a fixed batch
+    schedule, covering optimizer-state evolution.
+
+    Per step k (params θ_k evolved by OUR optax AdamW from imported
+    reference weights):
+
+    1. loss parity — the fp64 REFERENCE model+Loss placed at θ_k (via the
+       generic inverse permutation above) reproduces our loss on batch k;
+    2. gradient parity — our ``jax.grad`` at θ_k matches a directional
+       finite difference of the reference loss at θ_k.
+
+    With the exact AdamW-rule test (identical grads → identical updates,
+    elementwise so layout-invariant), this pins the full training
+    trajectory: grads correct at every visited point, and every visited
+    point is the one the reference's optimizer would visit.
+    """
+    import copy
+    import importlib
+    import types as _types
+
+    import optax
+
+    from veloxseg_tpu.train.loss import CompositeLoss
+    from veloxseg_tpu.train.optim import build_optimizer
+
+    tmodel, jmodel, params, cfg, _ = models_and_input
+    tcfg = {"deep_Loss_weight": [1, 1, 1, 1], "RC_Loss_weight": 0.5,
+            "Feature_Loss_weight": 2.0}
+    loss_obj = CompositeLoss("VeloxSeg", tcfg, num_modal=2)
+
+    tm = copy.deepcopy(tmodel).double()
+    tm.train(True)
+    ref_loss_mod = importlib.import_module("utils.loss")
+    args = _types.SimpleNamespace(model_name="VeloxSeg")
+    tloss = ref_loss_mod.Loss(args, tcfg, torch.device("cpu"),
+                              num_modal=2).double()
+    flax_to_torch = _make_flax_to_torch(tmodel.state_dict(), params)
+    tparams = dict(tm.named_parameters())
+
+    def place_torch(tree):
+        sd = flax_to_torch(tree)
+        with torch.no_grad():
+            for k, p in tparams.items():
+                p.copy_(torch.from_numpy(sd[k]))
+
+    def ref_loss(xt, lt):
+        with torch.no_grad():
+            return float(tloss(tm(xt), lt, sr_labels=xt).item())
+
+    rng = np.random.default_rng(77)
+    batches = []
+    for _ in range(3):
+        x = rng.standard_normal((1, 64, 64, 64, 2)).astype(np.float32)
+        y = rng.integers(0, 2, (1, 64, 64, 64))
+        batches.append((x, y))
+
+    def loss_fn(p, xj, yj):
+        outs = jmodel.apply({"params": p}, xj, train=True,
+                            rngs={"dropout": jax.random.PRNGKey(3)})
+        return loss_obj(list(outs), yj, sr_labels=xj)
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    tx = build_optimizer("adamw", {"lr": 2.5e-4, "weight_decay": 0.01})
+    opt_state = tx.init(params)
+    theta = params
+    eps = 1e-5
+
+    for step, (x, y) in enumerate(batches):
+        xj = jnp.asarray(x)
+        yj = jnp.asarray(y, jnp.int32)
+        xt = torch.from_numpy(np.ascontiguousarray(
+            np.transpose(x, (0, 4, 1, 2, 3))).astype(np.float64))
+        lt = torch.from_numpy(y[:, None]).long()
+
+        loss_j, grads = grad_fn(theta, xj, yj)
+
+        # 1. loss parity at the evolved point
+        place_torch(theta)
+        loss_t = ref_loss(xt, lt)
+        assert float(loss_j) == pytest.approx(loss_t, rel=2e-3), (
+            f"step {step}: jax loss {float(loss_j)} vs ref {loss_t}")
+
+        # 2. FD directional gradient parity at the evolved point
+        drng = np.random.default_rng(500 + step)
+        dirs = {k: drng.standard_normal(tuple(p.shape))
+                for k, p in tparams.items()}
+        d_flax = _flatten_with_paths(convert_state_dict(
+            {k: torch.from_numpy(v) for k, v in dirs.items()}, theta))
+        g_flax = _flatten_with_paths(grads)
+        directional_jax = float(sum(
+            np.sum(np.asarray(g_flax[k], np.float64) * d_flax[k])
+            for k in g_flax))
+        with torch.no_grad():
+            for k, p in tparams.items():
+                p += torch.from_numpy(eps * dirs[k])
+        up = ref_loss(xt, lt)
+        with torch.no_grad():
+            for k, p in tparams.items():
+                p -= torch.from_numpy(2 * eps * dirs[k])
+        down = ref_loss(xt, lt)
+        fd = (up - down) / (2 * eps)
+        assert directional_jax == pytest.approx(fd, rel=5e-3), (
+            f"step {step}: jax {directional_jax} vs reference FD {fd}")
+
+        updates, opt_state = tx.update(grads, opt_state, theta)
+        theta = optax.apply_updates(theta, updates)

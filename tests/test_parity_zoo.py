@@ -24,7 +24,7 @@ from veloxseg_tpu.interop.zoo_import import convert_zoo_state_dict  # noqa: E402
 
 REF_ZOO = os.path.join(DEFAULT_REFERENCE, "compared_model")
 
-pytestmark = [pytest.mark.slow] + (
+pytestmark = [pytest.mark.slow, pytest.mark.full] + (
     [] if os.path.isdir(os.path.join(REF_ZOO, "MedNeXt"))
     else [pytest.mark.skip(reason="reference zoo unavailable")])
 

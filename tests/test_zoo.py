@@ -53,6 +53,7 @@ CASES = [
 ]
 
 
+@pytest.mark.full
 @pytest.mark.parametrize("name,cfg,size,in_ch,out_ch", CASES,
                          ids=[c[0] for c in CASES])
 def test_zoo_forward(name, cfg, size, in_ch, out_ch):
@@ -78,3 +79,23 @@ def test_registry_lists_models():
 def test_unknown_model_raises():
     with pytest.raises(ValueError):
         load_model("NoSuchModel", {})
+
+
+@pytest.mark.slow
+def test_zoo_micro_smoke():
+    """Default-tier (not ``full``) coverage of the zoo registry path: two
+    representative baselines build and run forward — keeps `pytest -m
+    "not full"` exercising registry→construct→apply without the 17-model
+    sweep."""
+    for name, cfg, size, in_ch, out_ch in [c for c in CASES
+                                           if c[0] in ("MedNeXt",
+                                                       "SlimUNETR")]:
+        model = load_model(name, {name: cfg})
+        x = jnp.zeros((1, *size, in_ch), jnp.float32)
+        variables = jax.jit(model.init, static_argnames="train")(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)}, x, train=False)
+        out = jax.jit(
+            lambda v, x: model.apply(v, x, train=False))(variables, x)
+        first = out[0] if isinstance(out, (list, tuple)) else out
+        assert first.shape == (1, *size, out_ch)

@@ -53,8 +53,12 @@ def _convT_w(w: np.ndarray) -> np.ndarray:
 
 
 def _convT_b(b: np.ndarray) -> np.ndarray:
-    """(O,) → (O·8,): each output channel bias repeats per shuffle slot."""
-    return np.repeat(b, 8)
+    """(O,) → (O,): UpConv keeps the ConvTranspose's TIED per-channel
+    bias as a (O,) param added after the shuffle — an untied (O·8,) copy
+    would diverge from the reference under training (each copy gets its
+    own AdamW update; the reference's tied bias gets the summed
+    gradient), breaking multi-step trajectory parity."""
+    return b
 
 
 def _patch_embed_w(w: np.ndarray) -> np.ndarray:

@@ -89,6 +89,24 @@ class GroupedConv3d(nn.Module):
         return y
 
 
+class DenseParams(nn.Module):
+    """Parameter-only stand-in for ``nn.Dense`` (identical param names,
+    shapes, init) — lets callers merge several logical Dense layers into
+    one matmul at trace time while keeping checkpoint compatibility."""
+
+    features: int
+    in_features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", he_normal,
+                            (self.in_features, self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        return kernel, bias
+
+
 class FFN(nn.Module):
     """1×1-conv feed-forward: expand → act → project (+dropout).
 

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..ops import packed_conv
 from ..ops.pixel_shuffle import pixel_shuffle_3d
-from .basic import GroupedConv3d, get_act, he_normal
+from .basic import DenseParams, GroupedConv3d, get_act, he_normal
 from .norms import InstanceNorm
 
 
@@ -45,33 +45,60 @@ class _ConvParams(nn.Module):
         return kernel, bias
 
 
-class _DenseParams(nn.Module):
-    """Parameter-only stand-in for ``nn.Dense`` (same shapes/names/init),
-    for the packed JLC channel MLP."""
+_DenseParams = DenseParams
+
+
+class _UpConvParams(nn.Module):
+    """UpConv params: Dense-shaped kernel + TIED (C,) bias (reference
+    ConvTranspose parameterization — see UpConv)."""
 
     features: int
     in_features: int
+    shuffle: int = 8
 
     @nn.compact
     def __call__(self):
         kernel = self.param("kernel", he_normal,
-                            (self.in_features, self.features))
+                            (self.in_features, self.features * self.shuffle))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         return kernel, bias
 
 
 class DownConv(nn.Module):
-    """Strided overlapping patch downsample + InstanceNorm."""
+    """Strided overlapping patch downsample + InstanceNorm.
+
+    ``packed_out=True`` emits the 2×2×2 space-to-depth stream directly
+    (one conv with parity-shifted weights, see
+    ``ops/packed_conv.packed_out_kernel``) — N jumps from ``features`` to
+    ``8·features`` on the MXU and the downstream packed JLC needs no
+    separate pack transpose. Same params, same math.
+    """
 
     features: int
     patch_size: int = 2
     groups: int = 1
     use_norm: bool = True
+    packed_out: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         p = self.patch_size
         k = 2 * p - 1
+        if self.packed_out:
+            if any(s % (2 * p) for s in x.shape[1:4]):
+                raise ValueError(
+                    f"packed_out DownConv needs dims divisible by "
+                    f"{2 * p}, got {x.shape[1:4]}")
+            kern, bias = _ConvParams(
+                features=self.features, kernel_size=(k, k, k),
+                groups=self.groups, name="GroupedConv3d_0")(x.shape[-1])
+            wp = packed_conv.packed_out_kernel(
+                kern.astype(x.dtype), x.shape[-1], self.groups, p)
+            y = packed_conv.conv_strided_packed_out(x, wp, p)
+            y = y + jnp.tile(bias, 8).astype(y.dtype)
+            if self.use_norm:
+                y = packed_conv.instance_norm_packed(y, self.features)
+            return y
         y = GroupedConv3d(
             features=self.features,
             kernel_size=(k, k, k),
@@ -93,12 +120,31 @@ class UpConv(nn.Module):
 
     features: int
     up_rate: int = 2
+    packed_out: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         r = self.up_rate
-        y = nn.Dense(self.features * r ** 3, kernel_init=he_normal)(x)
+        # Kernel (C_in, C·r³) like a Dense, bias (C,) TIED per logical
+        # channel exactly like the reference ConvTranspose bias (an
+        # untied (C·8,) bias would drift from the reference under
+        # training — each copy would get its own AdamW update).
+        kern, bias = _UpConvParams(self.features, x.shape[-1], r ** 3,
+                                   name="Dense_0")()
+        if self.packed_out and packed_conv.enabled() and r == 2:
+            # ×2 upsample of grid S produces a stream whose PACKED grid is
+            # S itself — so with the Dense columns permuted from the
+            # pixel-shuffle (c, r³) order to the packed (r³, c) order, the
+            # projection output IS the packed stream: no spatial op at all.
+            kern = kern.reshape(x.shape[-1], self.features, 8)
+            kern = kern.transpose(0, 2, 1).reshape(x.shape[-1],
+                                                   8 * self.features)
+            y = x @ kern.astype(x.dtype)
+            y = y + jnp.tile(bias, 8).astype(y.dtype)
+            return packed_conv.instance_norm_packed(y, self.features)
+        y = x @ kern.astype(x.dtype)
         y = pixel_shuffle_3d(y, r)
+        y = y + bias.astype(y.dtype)
         return InstanceNorm()(y)
 
 
@@ -110,17 +156,21 @@ class JLC(nn.Module):
     expansion_factor: int = 4
     activation: str = "gelu"
     dropout: float = 0.0
+    packed_io: bool = False   # input/output are already packed streams
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
-        c = x.shape[-1]
         act = get_act(self.activation)
         multi = len(self.kernel_sizes) > 1
 
+        if self.packed_io:
+            return self._packed(x, deterministic, act, multi,
+                                packed_io=True)
         if (packed_conv.packable(x.shape[1:4])
                 and max(self.kernel_sizes) <= 5
                 and all(k % 2 == 1 for k in self.kernel_sizes)):
             return self._packed(x, deterministic, act, multi)
+        c = x.shape[-1]
 
         branches = []
         for k in self.kernel_sizes:
@@ -140,14 +190,15 @@ class JLC(nn.Module):
         z = nn.Dropout(self.dropout)(z, deterministic=deterministic)
         return out + z
 
-    def _packed(self, x, deterministic, act, multi):
+    def _packed(self, x, deterministic, act, multi, packed_io=False):
         """Space-to-depth execution (see ``ops/packed_conv.py``): the
         whole block — all kernel-size branches in ONE dense conv, both
         InstanceNorms, the channel MLP — runs on the 2×-packed grid with
         every materialized tensor keeping the full 8·C minor dim (narrow
         views lane-pad ~8× on TPU). Mathematically identical to the
-        unpacked path (same params)."""
-        c = x.shape[-1]
+        unpacked path (same params). ``packed_io=True`` means the caller
+        already holds the packed stream (no pack/unpack here)."""
+        c = x.shape[-1] // 8 if packed_io else x.shape[-1]
         nb = len(self.kernel_sizes)
         weights, biases = [], []
         for i, k in enumerate(self.kernel_sizes):
@@ -158,7 +209,7 @@ class JLC(nn.Module):
             biases.append(bias)
         wp = packed_conv.packed_kernel(weights, c, self.groups)
 
-        xp = packed_conv.pack_s2d(x)
+        xp = x if packed_io else packed_conv.pack_s2d(x)
         y = packed_conv.conv_packed(xp, wp)     # (…, nb·8·c) branch-major
         # bias: per branch, per logical channel, tiled over parity
         bias_full = jnp.concatenate(
@@ -180,7 +231,7 @@ class JLC(nn.Module):
         z = packed_conv.block_diag_dense(z, k2.astype(z.dtype), b2)
         z = nn.Dropout(self.dropout)(z, deterministic=deterministic)
         out = out + z
-        return packed_conv.unpack_s2d(out, c)
+        return out if packed_io else packed_conv.unpack_s2d(out, c)
 
 
 class JLCLayer(nn.Module):
@@ -192,6 +243,7 @@ class JLCLayer(nn.Module):
     expansion_factor: int = 4
     activation: str = "gelu"
     dropout: float = 0.0
+    packed_io: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
@@ -202,5 +254,6 @@ class JLCLayer(nn.Module):
                 expansion_factor=self.expansion_factor,
                 activation=self.activation,
                 dropout=self.dropout,
+                packed_io=self.packed_io,
             )(x, deterministic)
         return x

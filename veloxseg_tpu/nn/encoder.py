@@ -11,6 +11,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import packed_conv
 from .basic import he_normal
 from .conv_blocks import DownConv, JLCLayer
 from .norms import InstanceNorm
@@ -209,22 +210,43 @@ class Encoder(nn.Module):
             mixed.append(InstanceNorm()(y))
 
         # Interleaved conv pyramid with per-level attention fusion
-        # (``model/Encoder.py:351-361``).
+        # (``model/Encoder.py:351-361``). Where the level's grid allows
+        # it, the whole level runs as a packed (space-to-depth) stream:
+        # DownConv emits packed, the mixer is packed once, the JLC layer
+        # does packed-io, and the level output unpacks once at the end —
+        # the minimum number of layout transposes for the level.
         c = self.base_ch
         groups = [c * 2 ** i // self.min_dim_group[i]
                   for i in range(num_levels)]
         enc_feats = []
         h = x
         for i in range(num_levels):
-            h = DownConv(c * 2 ** i,
-                         patch_size=self.patch_size if i == 0 else 2,
-                         name=f"conv_down{i + 1}")(h) + mixed[i]
-            h = JLCLayer(depth=self.conv_depths[i],
-                         kernel_sizes=self.kernel_sizes,
-                         groups=groups[i],
-                         expansion_factor=self.conv_expansion_factor[i],
-                         dropout=self.conv_drop,
-                         name=f"conv_layer{i + 1}")(h, deterministic)
+            p = self.patch_size if i == 0 else 2
+            ci = c * 2 ** i
+            use_packed = (packed_conv.enabled()
+                          and max(self.kernel_sizes) <= 5
+                          and all(k % 2 == 1 for k in self.kernel_sizes)
+                          and all(s % (2 * p) == 0 for s in h.shape[1:4]))
+            if use_packed:
+                hp = DownConv(ci, patch_size=p, packed_out=True,
+                              name=f"conv_down{i + 1}")(h)
+                hp = hp + packed_conv.pack_s2d(mixed[i])
+                hp = JLCLayer(depth=self.conv_depths[i],
+                              kernel_sizes=self.kernel_sizes,
+                              groups=groups[i],
+                              expansion_factor=self.conv_expansion_factor[i],
+                              dropout=self.conv_drop, packed_io=True,
+                              name=f"conv_layer{i + 1}")(hp, deterministic)
+                h = packed_conv.unpack_s2d(hp, ci)
+            else:
+                h = DownConv(ci, patch_size=p,
+                             name=f"conv_down{i + 1}")(h) + mixed[i]
+                h = JLCLayer(depth=self.conv_depths[i],
+                             kernel_sizes=self.kernel_sizes,
+                             groups=groups[i],
+                             expansion_factor=self.conv_expansion_factor[i],
+                             dropout=self.conv_drop,
+                             name=f"conv_layer{i + 1}")(h, deterministic)
             enc_feats.append(h)
 
         return attn_feats, tuple(enc_feats)

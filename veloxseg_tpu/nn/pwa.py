@@ -36,8 +36,7 @@ from ..ops import pwa_attention
 from ..ops.pwa_attention import (train_fused_enabled, window_attention,
                                  window_attention_train)
 from ..ops.resize import interp_matrix
-from .basic import DropPath, FFN, he_normal
-from .norms import LayerNorm
+from .basic import DenseParams, DropPath, get_act
 from .patch import PatchMerging
 
 
@@ -87,6 +86,48 @@ class RelativePositionBias(nn.Module):
         bias = table[jnp.asarray(idx.reshape(-1))]
         # (l*l, heads) -> (heads, l, l)
         return bias.reshape(l, l, self.num_heads).transpose(2, 0, 1)
+
+
+class _FFNParams(nn.Module):
+    """Parameter-only stand-in for :class:`~veloxseg_tpu.nn.basic.FFN`
+    (same nested Dense_0/Dense_1 names, shapes, init)."""
+
+    hidden: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = DenseParams(self.hidden, self.features, name="Dense_0")()
+        w2, b2 = DenseParams(self.features, self.hidden, name="Dense_1")()
+        return w1, b1, w2, b2
+
+
+class _LNParams(nn.Module):
+    """Parameter-only stand-in for :class:`~veloxseg_tpu.nn.norms.LayerNorm`
+    (same names/shapes/init) so modality-stacked execution can keep the
+    reference-compatible per-modality parameter tree."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return scale, bias
+
+
+def _layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+                eps: float = 1e-6) -> jnp.ndarray:
+    """Channel-axis LayerNorm with leading-axis-stacked scale/bias
+    ((M, C) against (M, B, …, C)) — numerics identical to
+    :class:`~veloxseg_tpu.nn.norms.LayerNorm`."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = ((xf - mean) / jnp.sqrt(var + eps)).astype(x.dtype)
+    shape = (scale.shape[0],) + (1,) * (x.ndim - 2) + (scale.shape[-1],)
+    return (y * scale.reshape(shape).astype(x.dtype)
+            + bias.reshape(shape).astype(x.dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -210,23 +251,62 @@ class MultiModalPWA(nn.Module):
         assert len(xs) == m_count
         layout = self.layout
 
-        qs, ks, vs = [], [], []
+        # TPU-shaped execution of the per-modality front end, two merges
+        # deep (identical math, reference-compatible per-modality params):
+        #
+        # 1. joint q/k/v: the window gather (reshape → small-window
+        #    maxpool → transpose) is per-channel, so projecting to a
+        #    (pair, head, [q|k|v]) channel layout runs ONE gather instead
+        #    of three;
+        # 2. modality batching: all modalities stack on a leading axis —
+        #    one LayerNorm, one batched qkv einsum, and (modality folded
+        #    into batch) one gather — instead of M copies of each op.
+        heads = layout.num_heads
+        pairs = layout.num_pairs
+        dqk, dv = layout.dim_qk, layout.dim_v
+        cj = 2 * dqk + dv
+        wjs, bjs, scales, shifts = [], [], [], []
+        cin = xs[0].shape[-1]
         for m in range(m_count):
-            h = LayerNorm(name=f"norm_{m}")(xs[m])
-            q = nn.Dense(layout.channels_qk, use_bias=self.qkv_bias,
-                         kernel_init=he_normal, name=f"q_{m}")(h)
-            k = nn.Dense(layout.channels_qk, use_bias=self.qkv_bias,
-                         kernel_init=he_normal, name=f"k_{m}")(h)
-            v = nn.Dense(layout.channels_v, use_bias=self.qkv_bias,
-                         kernel_init=he_normal, name=f"v_{m}")(h)
-            qs.append(window_gather(q, layout, layout.dim_qk))
-            ks.append(window_gather(k, layout, layout.dim_qk))
-            vs.append(window_gather(v, layout, layout.dim_v))
+            s, t = _LNParams(cin, name=f"norm_{m}")()
+            scales.append(s)
+            shifts.append(t)
+            wq, bq = DenseParams(layout.channels_qk, cin,
+                                 self.qkv_bias, name=f"q_{m}")()
+            wk, bk = DenseParams(layout.channels_qk, cin,
+                                 self.qkv_bias, name=f"k_{m}")()
+            wv, bv = DenseParams(layout.channels_v, cin,
+                                 self.qkv_bias, name=f"v_{m}")()
+            wjs.append(jnp.concatenate(
+                [wq.reshape(cin, pairs, heads, dqk),
+                 wk.reshape(cin, pairs, heads, dqk),
+                 wv.reshape(cin, pairs, heads, dv)], axis=-1
+            ).reshape(cin, pairs * heads * cj))
+            if self.qkv_bias:
+                bjs.append(jnp.concatenate(
+                    [bq.reshape(pairs, heads, dqk),
+                     bk.reshape(pairs, heads, dqk),
+                     bv.reshape(pairs, heads, dv)], axis=-1).reshape(-1))
 
-        # (B, heads, N, M·l, c)
-        q = jnp.concatenate(qs, axis=3)
-        k = jnp.concatenate(ks, axis=3)
-        v = jnp.concatenate(vs, axis=3)
+        x = jnp.stack(xs, axis=0)                    # (M, B, D, H, W, C)
+        h = _layer_norm(x, jnp.stack(scales), jnp.stack(shifts))
+        y = jnp.einsum("m...c,mcj->m...j", h,
+                       jnp.stack(wjs).astype(h.dtype))
+        if self.qkv_bias:
+            bj = jnp.stack(bjs).reshape(m_count, 1, 1, 1, 1, -1)
+            y = y + bj.astype(y.dtype)
+        b = y.shape[1]
+        tok = window_gather(y.reshape(m_count * b, *y.shape[2:]),
+                            layout, cj)              # (M·B, h, N, l, cj)
+        mb, hh, n, l, _ = tok.shape
+        # (M, B, h, N, l, c) → (B, h, N, M·l, c): per-window token axis is
+        # the modality concatenation (reference ``PWA.py:338-370``)
+        tok = tok.reshape(m_count, b, hh, n, l, cj)
+        tok = tok.transpose(1, 2, 3, 0, 4, 5).reshape(b, hh, n,
+                                                      m_count * l, cj)
+        q = tok[..., :dqk]
+        k = tok[..., dqk:2 * dqk]
+        v = tok[..., 2 * dqk:]
 
         scale = 1.0 / math.sqrt(layout.dim_qk)
 
@@ -302,15 +382,25 @@ class MultiModalPWA(nn.Module):
 
         l = layout.tokens_per_window
         spatial = xs[0].shape[1:4]
-        outs = []
+        # (B, h, N, M·l, c) → (M·B, h, N, l, c): one scatter for all
+        # modalities, then a batched mix projection.
+        am = attn.reshape(b, hh, n, m_count, l, layout.dim_v)
+        am = am.transpose(3, 0, 1, 2, 4, 5).reshape(
+            m_count * b, hh, n, l, layout.dim_v)
+        am = window_scatter(am, layout, layout.dim_v, spatial)
+        am = am.reshape(m_count, b, *am.shape[1:])
+        mix_w, mix_b = [], []
         for m in range(m_count):
-            am = attn[:, :, :, m * l:(m + 1) * l]
-            am = window_scatter(am, layout, layout.dim_v, spatial)
-            am = nn.Dense(self.in_channels[m], kernel_init=he_normal,
-                          name=f"mix_{m}")(am)
-            am = nn.Dropout(self.proj_drop)(am, deterministic=deterministic)
-            outs.append(xs[m] + am)
-        return outs
+            w, bb = DenseParams(self.in_channels[m], am.shape[-1],
+                                name=f"mix_{m}")()
+            mix_w.append(w)
+            mix_b.append(bb)
+        am = jnp.einsum("m...c,mce->m...e", am,
+                        jnp.stack(mix_w).astype(am.dtype))
+        am = am + jnp.stack(mix_b).reshape(
+            m_count, 1, 1, 1, 1, -1).astype(am.dtype)
+        am = nn.Dropout(self.proj_drop)(am, deterministic=deterministic)
+        return [xs[m] + am[m] for m in range(m_count)]
 
 
 class PWABlock(nn.Module):
@@ -354,14 +444,33 @@ class PWABlock(nn.Module):
         )(xs, deterministic)
         dp = DropPath(self.drop_path)
         ys = [xs[m] + dp(attns[m], deterministic) for m in range(m_count)]
-        outs = []
+        # modality-stacked LN + FFN (one batched einsum per matmul instead
+        # of M narrow ones; params stay per-modality — see MultiModalPWA)
+        c = ys[0].shape[-1]
+        hidden = c * self.ffn_expansion_ratio
+        scales, shifts, w1s, b1s, w2s, b2s = [], [], [], [], [], []
         for m in range(m_count):
-            z = LayerNorm(name=f"ffn_norm_{m}")(ys[m])
-            z = FFN(expansion_ratio=self.ffn_expansion_ratio,
-                    dropout_rate=self.proj_drop, act=self.act_layer,
-                    name=f"ffn_{m}")(z, deterministic)
-            outs.append(ys[m] + dp(z, deterministic))
-        return outs
+            s, t = _LNParams(c, name=f"ffn_norm_{m}")()
+            scales.append(s)
+            shifts.append(t)
+            w1, b1, w2, b2 = _FFNParams(hidden, c, name=f"ffn_{m}")()
+            w1s.append(w1)
+            b1s.append(b1)
+            w2s.append(w2)
+            b2s.append(b2)
+        z = _layer_norm(jnp.stack(ys), jnp.stack(scales), jnp.stack(shifts))
+        act = get_act(self.act_layer)
+        mshape = (m_count,) + (1,) * (z.ndim - 2) + (-1,)
+        z = jnp.einsum("m...c,mce->m...e", z,
+                       jnp.stack(w1s).astype(z.dtype))
+        z = act(z + jnp.stack(b1s).reshape(mshape).astype(z.dtype))
+        drop = nn.Dropout(self.proj_drop)
+        z = drop(z, deterministic=deterministic)
+        z = jnp.einsum("m...c,mce->m...e", z,
+                       jnp.stack(w2s).astype(z.dtype))
+        z = z + jnp.stack(b2s).reshape(mshape).astype(z.dtype)
+        z = drop(z, deterministic=deterministic)
+        return [ys[m] + dp(z[m], deterministic) for m in range(m_count)]
 
 
 class TransformerStage(nn.Module):

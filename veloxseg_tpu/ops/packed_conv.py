@@ -176,6 +176,86 @@ def instance_norm_packed(y: jnp.ndarray, channels: int,
     return (xf * scale - shift).astype(y.dtype)
 
 
+@lru_cache(maxsize=None)
+def _down_scatter_matrix(k: int, stride: int) -> np.ndarray:
+    """Constant 0/1 matrix (k³, K'³·8) scattering a strided conv kernel
+    into its packed-output form: a (kernel k, stride p, pad p−1) conv
+    whose output is ALSO 2×2×2-packed is a (kernel k+p, stride 2p,
+    pad (p−1, 0)) conv with per-output-parity shifted taps
+    t_d = p·r_d + o_d."""
+    kp = k + stride
+    m = np.zeros((k ** 3, kp, kp, kp, 8), np.float32)
+    parities = [(a, b, c) for a in (0, 1) for b in (0, 1) for c in (0, 1)]
+    for od in range(k):
+        for oh in range(k):
+            for ow in range(k):
+                for ri, r in enumerate(parities):
+                    m[(od * k + oh) * k + ow,
+                      stride * r[0] + od,
+                      stride * r[1] + oh,
+                      stride * r[2] + ow, ri] = 1.0
+    return m.reshape(k ** 3, kp ** 3 * 8)
+
+
+def packed_out_kernel(w: jnp.ndarray, in_ch: int, groups: int,
+                      stride: int) -> jnp.ndarray:
+    """(k,k,k, C_in/G, C_out) weights of a (stride p, pad p−1) conv →
+    (k+p, k+p, k+p, C_in, 8·C_out) weights whose (stride 2p, pad (p−1, 0))
+    conv emits the 2×2×2-packed output stream directly (parity-major:
+    out-ch = r·C_out + c). Use with :func:`conv_strided_packed_out`."""
+    k = w.shape[0]
+    dense = _dense_from_grouped(w, in_ch, groups) if groups > 1 else w
+    cout = dense.shape[-1]
+    kp = k + stride
+    scatter = jnp.asarray(_down_scatter_matrix(k, stride), dtype=dense.dtype)
+    flat = dense.reshape(k ** 3, in_ch * cout)
+    g = (scatter.T @ flat).reshape(kp, kp, kp, 8, in_ch, cout)
+    g = g.transpose(0, 1, 2, 4, 3, 5)             # (…, Cin, rout, Cout)
+    return g.reshape(kp, kp, kp, in_ch, 8 * cout)
+
+
+def conv_strided_packed_out(x: jnp.ndarray, wp: jnp.ndarray,
+                            stride: int) -> jnp.ndarray:
+    """Strided conv with packed output: input (B, D, H, W, C_in)
+    unpacked, output (B, D/2p, …, 8·C_out) packed."""
+    p = stride
+    return lax.conv_general_dilated(
+        x, wp.astype(x.dtype), (2 * p,) * 3, [(p - 1, 0)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+
+def head_pixel_shuffle(y: jnp.ndarray, scale: int,
+                       out_ch: int) -> jnp.ndarray:
+    """Depth-to-space of a PACKED head-conv output in one transpose.
+
+    ``y`` (B, G, G, G, 8·out_ch·scale³) with channel factor
+    (parity r, out_ch, s³) — the packed conv of a head whose logical
+    output channels factor (out_ch, s³) as ``pixel_shuffle_3d`` expects.
+    Fine-grid voxel = coarse·(2·scale) + (r·scale + s) per axis.
+    Returns (B, 2·scale·G, …, out_ch)."""
+    b, d, h, w, _ = y.shape
+    s = scale
+    y = y.reshape(b, d, h, w, 2, 2, 2, out_ch, s, s, s)
+    # (B, d, rd, sd, h, rh, sh, w, rw, sw, out_ch)
+    y = y.transpose(0, 1, 4, 8, 2, 5, 9, 3, 6, 10, 7)
+    return y.reshape(b, d * 2 * s, h * 2 * s, w * 2 * s, out_ch)
+
+
+def gram_matrix_packed(xp: jnp.ndarray, channels: int) -> jnp.ndarray:
+    """Gram matrix of a packed stream — identical to
+    ``gram_matrix(unpack_s2d(xp, channels))`` without the unpack."""
+    b = xp.shape[0]
+    spatial = int(np.prod(xp.shape[1:4])) * 8
+    xf = xp.reshape(b, -1, 8, channels)
+    g = lax.dot_general(
+        xf, xf,
+        dimension_numbers=(((1, 2), (1, 2)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )
+    return g / float(channels * spatial)
+
+
 def block_diag_dense(x: jnp.ndarray, kernel: jnp.ndarray,
                      bias: jnp.ndarray | None) -> jnp.ndarray:
     """Per-parity Dense on a packed stream without unpacking.

@@ -56,6 +56,51 @@ def dice_loss(logits: jnp.ndarray, labels: jnp.ndarray,
     return jnp.mean(1.0 - dice)
 
 
+def fused_ce_dice_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+                       include_background: bool = False,
+                       smooth_nr: float = 1e-5, smooth_dr: float = 1e-5
+                       ) -> jnp.ndarray:
+    """CE + Dice sharing ONE softmax pipeline.
+
+    Numerically identical to ``softmax_ce_loss(...) + dice_loss(...)``
+    but reads the (full-resolution, per-deep-head) logits once: the same
+    fp32 log-softmax feeds the CE contraction and (via ``exp``) the Dice
+    probabilities. The separate-functions form re-materializes softmax
+    for every head at every scale — ~30 ms/step of the 128³/bs16 train
+    step (device-trace measured).
+    """
+    n_classes = logits.shape[-1]
+    # Unstack the class axis into per-class full-width tensors: a
+    # (B, 128³, 2) fp32 tensor's 2-wide minor axis lane-pads on TPU and
+    # every reduce over it runs ~10× under HBM speed (trace-measured
+    # ~19 ms/step across the deep heads); per-class (B, 128³) tensors
+    # tile cleanly and the whole pipeline fuses.
+    xs = [logits[..., c].astype(jnp.float32) for c in range(n_classes)]
+    m = xs[0]
+    for xc in xs[1:]:
+        m = jnp.maximum(m, xc)
+    exps = [jnp.exp(xc - m) for xc in xs]
+    sumexp = sum(exps)
+    lse = m + jnp.log(sumexp)
+    # CE = mean over voxels of Σ_c 1[label=c]·(lse − x_c) — identical to
+    # -mean(Σ log_softmax·onehot) including its treatment of any
+    # out-of-range label (contributes 0).
+    ce = jnp.mean(sum(jnp.where(labels == c, lse - xc, 0.0)
+                      for c, xc in enumerate(xs)))
+    axes = tuple(range(1, labels.ndim))
+    start = 0 if include_background else 1
+    dice_sum = 0.0
+    for c in range(start, n_classes):
+        probs_c = exps[c] / sumexp
+        mask_c = (labels == c)
+        inter = jnp.sum(jnp.where(mask_c, probs_c, 0.0), axis=axes)
+        denom = (jnp.sum(probs_c, axis=axes)
+                 + jnp.sum(mask_c.astype(jnp.float32), axis=axes))
+        dice_sum = dice_sum + jnp.mean(
+            1.0 - (2.0 * inter + smooth_nr) / (denom + smooth_dr))
+    return ce + dice_sum / (n_classes - start)
+
+
 class CompositeLoss:
     """Callable mirroring reference ``Loss`` (``utils/loss.py:10-86``).
 
@@ -72,7 +117,7 @@ class CompositeLoss:
         self.feature_loss_weight = config.get("Feature_Loss_weight")
 
     def seg_loss(self, logits, labels):
-        return softmax_ce_loss(logits, labels) + dice_loss(logits, labels)
+        return fused_ce_dice_loss(logits, labels)
 
     def deep_seg_loss(self, outputs: Sequence[jnp.ndarray], labels):
         if not isinstance(outputs, (list, tuple)):
