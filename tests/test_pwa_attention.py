@@ -11,10 +11,11 @@ from veloxseg_tpu.ops.pwa_attention import (window_attention_pallas,
 
 
 def _inputs(b=2, h=2, n=5, l=54, c_qk=8, c_v=12, seed=0, dtype=np.float32):
+    # Token layout: (B, h, N, C, L) — channels second-minor, L minor.
     rng = np.random.default_rng(seed)
-    q = jnp.asarray(rng.standard_normal((b, h, n, l, c_qk)).astype(dtype))
-    k = jnp.asarray(rng.standard_normal((b, h, n, l, c_qk)).astype(dtype))
-    v = jnp.asarray(rng.standard_normal((b, h, n, l, c_v)).astype(dtype))
+    q = jnp.asarray(rng.standard_normal((b, h, n, c_qk, l)).astype(dtype))
+    k = jnp.asarray(rng.standard_normal((b, h, n, c_qk, l)).astype(dtype))
+    v = jnp.asarray(rng.standard_normal((b, h, n, c_v, l)).astype(dtype))
     bias = jnp.asarray(rng.standard_normal((h, l, l)).astype(np.float32))
     return q, k, v, bias
 
@@ -42,7 +43,7 @@ def test_pallas_pads_ragged_n():
 
 def test_pallas_bf16_io():
     q, k, v, bias = _inputs(seed=2)
-    scale = 1.0 / np.sqrt(q.shape[-1])
+    scale = 1.0 / np.sqrt(q.shape[-2])
     ref = window_attention_xla(q.astype(jnp.bfloat16),
                                k.astype(jnp.bfloat16),
                                v.astype(jnp.bfloat16), bias, scale)

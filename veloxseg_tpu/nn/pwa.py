@@ -136,11 +136,13 @@ def _layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
 
 def window_gather(x: jnp.ndarray, layout: WindowLayout,
                   c_per: int) -> jnp.ndarray:
-    """(B, D, H, W, P·h·c) -> (B, h, ΣN_p, l, c) tokens.
+    """(B, D, H, W, P·h·c) -> (B, h, ΣN_p, c, l) tokens.
 
     The channel axis of ``x`` factors as (pair, head, c) — pair slowest —
     matching the reference's ``(bswin head c)`` ordering (``PWA.py:111``).
     Each small window is max-pooled to one token (``PWA.py:127``).
+    Channels land SECOND-minor (see ops/pwa_attention.py: a c-minor token
+    tensor lane-pads up to 32× in HBM at the JL head widths).
     """
     b = x.shape[0]
     spatial = x.shape[1:4]
@@ -160,16 +162,16 @@ def window_gather(x: jnp.ndarray, layout: WindowLayout,
             heads, c_per)
         xi = xi.max(axis=(3, 6, 9))
         # -> (B, Nd, td, Nh, th, Nw, tw, heads, c)
-        xi = xi.transpose(0, 7, 1, 3, 5, 2, 4, 6, 8)
-        # -> (B, heads, Nd, Nh, Nw, td, th, tw, c)
-        xi = xi.reshape(b, heads, math.prod(grid), math.prod(tok), c_per)
+        xi = xi.transpose(0, 7, 1, 3, 5, 8, 2, 4, 6)
+        # -> (B, heads, Nd, Nh, Nw, c, td, th, tw)
+        xi = xi.reshape(b, heads, math.prod(grid), c_per, math.prod(tok))
         xs.append(xi)
     return jnp.concatenate(xs, axis=2)
 
 
 def window_scatter(tokens: jnp.ndarray, layout: WindowLayout,
                    c_per: int, spatial=None) -> jnp.ndarray:
-    """(B, h, ΣN_p, l, c) tokens -> (B, D, H, W, P·h·c) voxels.
+    """(B, h, ΣN_p, c, l) tokens -> (B, D, H, W, P·h·c) voxels.
 
     Per pair: trilinear align-corners upsample of the per-window token grid
     back to big-window size (``PWA.py:190``), then inverse of the gather
@@ -191,18 +193,18 @@ def window_scatter(tokens: jnp.ndarray, layout: WindowLayout,
         n = math.prod(grid)
         a = tokens[:, :, idx:idx + n]
         idx += n
-        a = a.reshape(b, heads, *grid, *tok, c_per)
-        # Per-window align-corners upsample along the token axes (5, 6, 7).
+        a = a.reshape(b, heads, *grid, c_per, *tok)
+        # Per-window align-corners upsample along the token axes (6, 7, 8).
         for axis, (t, s) in enumerate(zip(tok, small)):
             if s == 1:
                 continue
             w = interp_matrix(t, t * s, dtype=a.dtype)
             a = jnp.moveaxis(
-                jnp.tensordot(w, a, axes=((1,), (5 + axis,)),
-                              precision="highest"), 0, 5 + axis)
-        # (B, heads, Nd, Nh, Nw, bd, bh, bw, c) ->
+                jnp.tensordot(w, a, axes=((1,), (6 + axis,)),
+                              precision="highest"), 0, 6 + axis)
+        # (B, heads, Nd, Nh, Nw, c, bd, bh, bw) ->
         # (B, Nd, bd, Nh, bh, Nw, bw, heads, c)
-        a = a.transpose(0, 2, 5, 3, 6, 4, 7, 1, 8)
+        a = a.transpose(0, 2, 6, 3, 7, 4, 8, 1, 5)
         a = a.reshape(b, *spatial, heads * c_per)
         outs.append(a)
     return jnp.concatenate(outs, axis=-1)
@@ -297,16 +299,16 @@ class MultiModalPWA(nn.Module):
             y = y + bj.astype(y.dtype)
         b = y.shape[1]
         tok = window_gather(y.reshape(m_count * b, *y.shape[2:]),
-                            layout, cj)              # (M·B, h, N, l, cj)
-        mb, hh, n, l, _ = tok.shape
-        # (M, B, h, N, l, c) → (B, h, N, M·l, c): per-window token axis is
+                            layout, cj)              # (M·B, h, N, cj, l)
+        mb, hh, n, _, l = tok.shape
+        # (M, B, h, N, c, l) → (B, h, N, c, M·l): per-window token axis is
         # the modality concatenation (reference ``PWA.py:338-370``)
-        tok = tok.reshape(m_count, b, hh, n, l, cj)
-        tok = tok.transpose(1, 2, 3, 0, 4, 5).reshape(b, hh, n,
-                                                      m_count * l, cj)
-        q = tok[..., :dqk]
-        k = tok[..., dqk:2 * dqk]
-        v = tok[..., 2 * dqk:]
+        tok = tok.reshape(m_count, b, hh, n, cj, l)
+        tok = tok.transpose(1, 2, 3, 4, 0, 5).reshape(b, hh, n, cj,
+                                                      m_count * l)
+        q = tok[..., :dqk, :]
+        k = tok[..., dqk:2 * dqk, :]
+        v = tok[..., 2 * dqk:, :]
 
         scale = 1.0 / math.sqrt(layout.dim_qk)
 
@@ -326,7 +328,7 @@ class MultiModalPWA(nn.Module):
             # mesh, shard_map over the batch axis (windows are
             # embarrassingly parallel) — GSPMD can't split the custom call.
             if mesh is not None and pwa_attention.eval_fits_vmem(
-                    q.shape[-2]):
+                    q.shape[-1]):
                 from jax.sharding import PartitionSpec as P
                 attn = jax.shard_map(
                     functools.partial(window_attention, scale=scale),
@@ -370,23 +372,23 @@ class MultiModalPWA(nn.Module):
                 )(q, k, v, bias, seed)
         else:
             scores = jnp.einsum(
-                "bhnlc,bhnmc->bhnlm", q, k,
+                "bhncl,bhncm->bhnlm", q, k,
                 preferred_element_type=jnp.float32) * scale
             scores = scores + bias[None, :, None]
             weights = nn.softmax(scores, axis=-1)
             weights = nn.Dropout(self.attn_drop)(
                 weights, deterministic=deterministic)
             attn = jnp.einsum(
-                "bhnlm,bhnmc->bhnlc", weights.astype(v.dtype), v,
+                "bhnlm,bhncm->bhncl", weights.astype(v.dtype), v,
                 preferred_element_type=jnp.float32).astype(v.dtype)
 
         l = layout.tokens_per_window
         spatial = xs[0].shape[1:4]
-        # (B, h, N, M·l, c) → (M·B, h, N, l, c): one scatter for all
+        # (B, h, N, c, M·l) → (M·B, h, N, c, l): one scatter for all
         # modalities, then a batched mix projection.
-        am = attn.reshape(b, hh, n, m_count, l, layout.dim_v)
-        am = am.transpose(3, 0, 1, 2, 4, 5).reshape(
-            m_count * b, hh, n, l, layout.dim_v)
+        am = attn.reshape(b, hh, n, layout.dim_v, m_count, l)
+        am = am.transpose(4, 0, 1, 2, 3, 5).reshape(
+            m_count * b, hh, n, layout.dim_v, l)
         am = window_scatter(am, layout, layout.dim_v, spatial)
         am = am.reshape(m_count, b, *am.shape[1:])
         mix_w, mix_b = [], []

@@ -113,22 +113,36 @@ def packed_kernel(weights: Sequence[Tuple[int, jnp.ndarray]], in_ch: int,
     — so each branch's slice ``y[..., b·8C:(b+1)·8C]`` is itself a valid
     packed stream (keeps the minor dim ≥ 8·C for TPU lane tiling; a
     (…, 8, n_b, C) view would pad C up to 128 lanes and run ~10× slower).
+
+    This repack runs INSIDE every train step (the params are the logical
+    grouped weights), so it is built from a handful of fused ops — pad to
+    kmax taps, ONE constant-matrix matmul into the packed tap/parity
+    slots, block-diagonal group expansion as a broadcast multiply by
+    eye(G), one transpose — rather than per-branch scatter chains, whose
+    forward+backward op spam cost real milliseconds per step.
     """
-    dense = [_dense_from_grouped(w, in_ch, groups) for _, w in weights]
     kmax = max(k for k, _ in weights)
-    padded = []
-    for (k, _), d in zip(weights, dense):
-        p = (kmax - k) // 2
-        padded.append(jnp.pad(d, [(p, p)] * 3 + [(0, 0), (0, 0)]))
-    wd = jnp.concatenate(padded, axis=-1)             # (K,K,K,Cin, nb·Cout)
-    nbc = wd.shape[-1]
     nb = len(weights)
-    cout = nbc // nb
+    cg = in_ch // groups
+    cout = weights[0][1].shape[-1]
+    cog = cout // groups
+    padded = []
+    for k, w in weights:
+        p = (kmax - k) // 2
+        padded.append(jnp.pad(w, [(p, p)] * 3 + [(0, 0), (0, 0)]))
+    # (K,K,K, cg, nb·cout) — branch on the out axis, group blocks intact
+    wd = jnp.stack(padded, axis=-2)                 # (K,K,K, cg, nb, cout)
     scatter = jnp.asarray(_scatter_matrix(kmax), dtype=wd.dtype)
-    flat = wd.reshape(kmax ** 3, in_ch * nbc)
-    g = (scatter.T @ flat).reshape(3, 3, 3, 8, 8, in_ch, nb, cout)
-    # (3,3,3, rin, Cin, nb, rout, cout) → branch-major out layout
-    g = g.transpose(0, 1, 2, 3, 5, 6, 4, 7)
+    flat = wd.reshape(kmax ** 3, cg * nb * cout)
+    g = (scatter.T @ flat).reshape(27, 8, 8, cg, nb, groups, cog)
+    # block-diag group expansion: out group h only sees in-channels of
+    # group h — one broadcast multiply, no scatters
+    eye = jnp.asarray(np.eye(groups), dtype=wd.dtype)
+    g = g[:, :, :, None, :, :, :, :] * eye[None, None, None, :, None, None,
+                                           :, None]
+    # (27, rin, rout, G_in, cg, nb, G_out, cog)
+    # → (27, rin, G_in, cg, nb, rout, G_out, cog)
+    g = g.transpose(0, 1, 3, 4, 5, 2, 6, 7)
     return g.reshape(3, 3, 3, 8 * in_ch, nb * 8 * cout)
 
 

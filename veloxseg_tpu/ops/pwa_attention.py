@@ -17,6 +17,14 @@ PWA.py:87-103``) — einsum·scale + position bias + softmax + einsum.
 Dispatch mirrors :mod:`veloxseg_tpu.ops.wkv`: Pallas on TPU, einsum
 fallback elsewhere (and under dropout, where the XLA path's explicit
 weight tensor is needed for the dropout mask).
+
+Token layout — (B, h, N, C, L), channels SECOND-minor, window length L
+minor. The JL head widths are tiny (C = 4–16); TPU tiles the last two
+dims as (8 sublanes, 128 lanes), so a C-minor token tensor lane-pads up
+to 32× in HBM (measured: the 128³ train step's stage-0 operands were
+(16,1,590,128,4) → 310 MB padded vs 9.7 MB logical, and the attention
+custom calls + their pads dominated the step). With L minor the pad is
+≤2× at every stage. All kernels and the XLA fallback use this layout.
 """
 
 from __future__ import annotations
@@ -34,33 +42,34 @@ def window_attention_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                          bias: jnp.ndarray, scale: float) -> jnp.ndarray:
     """Reference path (identical math to nn/pwa.py's inline einsums).
 
-    q, k: (B, h, N, L, Cqk); v: (B, h, N, L, Cv); bias: (h, L, L).
-    Returns (B, h, N, L, Cv) in v.dtype.
+    q, k: (B, h, N, Cqk, L); v: (B, h, N, Cv, L); bias: (h, L, L).
+    Returns (B, h, N, Cv, L) in v.dtype.
     """
-    scores = jnp.einsum("bhnlc,bhnmc->bhnlm", q, k,
+    scores = jnp.einsum("bhncl,bhncm->bhnlm", q, k,
                         preferred_element_type=jnp.float32) * scale
     scores = scores + bias[None, :, None].astype(jnp.float32)
     weights = jax.nn.softmax(scores, axis=-1)
-    return jnp.einsum("bhnlm,bhnmc->bhnlc", weights.astype(v.dtype), v,
+    return jnp.einsum("bhnlm,bhncm->bhncl", weights.astype(v.dtype), v,
                       preferred_element_type=jnp.float32).astype(v.dtype)
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
     """One (head, batch, window-block) program; everything VMEM-resident.
 
-    Blocks: q/k (1, 1, BN, L, Cqk), v/o (1, 1, BN, L, Cv), bias (1, L, L).
+    Blocks: q/k (1, 1, BN, Cqk, L), v/o (1, 1, BN, Cv, L), bias (1, L, L).
     """
     q = q_ref[0, 0].astype(jnp.float32)
     k = k_ref[0, 0].astype(jnp.float32)
     v = v_ref[0, 0].astype(jnp.float32)
-    # (BN, L, L) batched over the window-block axis.
+    # (BN, L, L) batched over the window-block axis; contraction over C.
     scores = jax.lax.dot_general(
-        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        q, k, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * scale
     scores = scores + bias_ref[0][None]
     weights = jax.nn.softmax(scores, axis=-1)
+    # out[c, l] = Σ_m V[c, m]·W[l, m]
     out = jax.lax.dot_general(
-        weights, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        v, weights, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
     o_ref[0, 0] = out.astype(o_ref.dtype)
 
@@ -77,8 +86,8 @@ def window_attention_pallas(q, k, v, bias, scale: float,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    b, h, n, l, c_qk = q.shape
-    c_v = v.shape[-1]
+    b, h, n, c_qk, l = q.shape
+    c_v = v.shape[-2]
     if block_windows <= 0:
         # Mosaic pads the last two dims to (sublane, 128-lane) tiles, so
         # budget VMEM on the PADDED score shape: (BN, ⌈L/8⌉·8, 128·⌈L/128⌉)
@@ -99,11 +108,11 @@ def window_attention_pallas(q, k, v, bias, scale: float,
 
     grid = (h, b, n_total // bn)
     tok_spec = lambda c: pl.BlockSpec(  # noqa: E731
-        (1, 1, bn, l, c), lambda hh, bb, nn: (bb, hh, nn, 0, 0),
+        (1, 1, bn, c, l), lambda hh, bb, nn: (bb, hh, nn, 0, 0),
         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((b, h, n_total, l, c_v), v.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, n_total, c_v, l), v.dtype),
         grid=grid,
         in_specs=[
             tok_spec(c_qk), tok_spec(c_qk), tok_spec(c_v),
@@ -182,7 +191,7 @@ def window_attention(q, k, v, bias, scale: float) -> jnp.ndarray:
     if _PORTABLE_ONLY:
         return window_attention_xla(q, k, v, bias, scale)
     on_tpu = _target_platform() == "tpu"
-    if (on_tpu or _FORCE_INTERPRET) and eval_fits_vmem(q.shape[-2]):
+    if (on_tpu or _FORCE_INTERPRET) and eval_fits_vmem(q.shape[-1]):
         try:
             return window_attention_pallas(q, k, v, bias, scale,
                                            interpret=not on_tpu)
@@ -314,7 +323,7 @@ def _train_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
     k = k_ref[0, 0].astype(jnp.float32)
     v = v_ref[0, 0].astype(jnp.float32)
     scores = jax.lax.dot_general(
-        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        q, k, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * scale
     weights = _softmax_fp32(scores + bias_ref[0][None])
     if p > 0.0:
@@ -323,8 +332,9 @@ def _train_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
         keep = _dropout_keep(weights.shape, p, seed,
                              _global_window_base(bn, off), l, l)
         weights = jnp.where(keep, weights * (1.0 / (1.0 - p)), 0.0)
+    # out[c, l] = Σ_m V[c, m]·W[l, m]
     out = jax.lax.dot_general(
-        weights, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        v, weights, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
     o_ref[0, 0] = out.astype(o_ref.dtype)
 
@@ -339,7 +349,7 @@ def _train_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
     do = do_ref[0, 0].astype(jnp.float32)
 
     scores = jax.lax.dot_general(
-        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        q, k, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * scale
     prob = _softmax_fp32(scores + bias_ref[0][None])
     if p > 0.0:
@@ -353,13 +363,13 @@ def _train_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
     else:
         weights = prob
 
-    # dV[m,c] = Σ_l W[l,m]·dO[l,c]
+    # dV[c,m] = Σ_l W[l,m]·dO[c,l]
     dv = jax.lax.dot_general(
-        weights, do, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        do, weights, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
-    # dW[l,m] = Σ_c dO[l,c]·V[m,c]
+    # dW[l,m] = Σ_c dO[c,l]·V[c,m]
     dw = jax.lax.dot_general(
-        do, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        do, v, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
     if p > 0.0:
         dprob = jnp.where(keep, dw * inv, 0.0)
@@ -368,12 +378,12 @@ def _train_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
     # softmax VJP: dS = P ⊙ (dP − Σ_m P·dP)
     t = prob * dprob
     ds = t - prob * jnp.sum(t, axis=-1, keepdims=True)
-    # dq[l,c] = scale·Σ_m dS[l,m]·K[m,c] ; dk[m,c] = scale·Σ_l dS[l,m]·Q[l,c]
+    # dq[c,l] = scale·Σ_m K[c,m]·dS[l,m] ; dk[c,m] = scale·Σ_l Q[c,l]·dS[l,m]
     dq = jax.lax.dot_general(
-        ds, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        k, ds, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * scale
     dk = jax.lax.dot_general(
-        ds, q, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        q, ds, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * scale
     dq_ref[0, 0] = dq.astype(dq_ref.dtype)
     dk_ref[0, 0] = dk.astype(dk_ref.dtype)
@@ -403,33 +413,41 @@ def _train_fwd_rb_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
     keeps VMEM bounded while the grid stays coarse). Matmuls run in the
     input dtype (bf16 on the MXU in production) with fp32 accumulation —
     matching the XLA einsum path's precision; softmax/dropout arithmetic
-    is fp32. Softmax is exact per row (a full score row is present)."""
+    is fp32. Softmax is exact per row (a full score row is present).
+
+    Operands are (…, C, L); score rows index q tokens, so q is transposed
+    ONCE in VMEM to (L, C) (tiny) and the output accumulates in an (L, Cv)
+    carry transposed back at the end — row blocks then slice only the
+    SUBLANE dim, which needs no 128-lane alignment."""
     from jax.experimental import pallas as pl
-    k = k_ref[0, 0, 0]                          # (L, Cqk)
-    v = v_ref[0, 0, 0]                          # (L, Cv)
+    k = k_ref[0, 0, 0]                          # (Cqk, L)
+    v = v_ref[0, 0, 0]                          # (Cv, L)
+    qt = q_ref[0, 0, 0].T                       # (L, Cqk) — one small copy
     if p > 0.0:
         seed, off = _seed_and_offset(seed_ref)
         base = _global_window_base(1, off)
 
-    def body(rr, _):
-        row = pl.ds(rr * br, br)
-        qr = q_ref[0, 0, 0, row, :]             # (Br, Cqk)
+    def body(rr, out_acc):
+        qr = jax.lax.dynamic_slice_in_dim(qt, rr * br, br, 0)  # (Br, Cqk)
         scores = jax.lax.dot_general(
-            qr, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            qr, k, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
-        weights = _softmax_fp32(scores + bias_ref[0, row, :])
+        weights = _softmax_fp32(
+            scores + bias_ref[0, pl.ds(rr * br, br), :])
         if p > 0.0:
             keep = _dropout_keep((1, br, l), p, seed, base, l, l,
                                  row_offset=rr * br)[0]
             weights = jnp.where(keep, weights * (1.0 / (1.0 - p)), 0.0)
         out = jax.lax.dot_general(
             weights.astype(v.dtype), v,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        o_ref[0, 0, 0, row, :] = out.astype(o_ref.dtype)
-        return 0
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (Br, Cv)
+        return jax.lax.dynamic_update_slice_in_dim(out_acc, out, rr * br, 0)
 
-    jax.lax.fori_loop(0, l // br, body, 0)
+    c_v = v.shape[0]
+    out = jax.lax.fori_loop(
+        0, l // br, body, jnp.zeros((l, c_v), jnp.float32))
+    o_ref[0, 0, 0] = out.T.astype(o_ref.dtype)
 
 
 def _train_bwd_rb_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
@@ -444,10 +462,12 @@ def _train_bwd_rb_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
       visit) with dynamic row-slice stores.
     """
     from jax.experimental import pallas as pl
-    k = k_ref[0, 0, 0]                          # (L, Cqk)
-    v = v_ref[0, 0, 0]                          # (L, Cv)
-    c_qk = k.shape[-1]
-    c_v = v.shape[-1]
+    k = k_ref[0, 0, 0]                          # (Cqk, L)
+    v = v_ref[0, 0, 0]                          # (Cv, L)
+    qt = q_ref[0, 0, 0].T                       # (L, Cqk)
+    dot = do_ref[0, 0, 0].T                     # (L, Cv)
+    c_qk = k.shape[0]
+    c_v = v.shape[0]
     in_dtype = k.dtype
     if p > 0.0:
         seed, off = _seed_and_offset(seed_ref)
@@ -461,14 +481,13 @@ def _train_bwd_rb_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
         dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
 
     def body(rr, carry):
-        dk_acc, dv_acc = carry
-        row = pl.ds(rr * br, br)
-        qr = q_ref[0, 0, 0, row, :]             # (Br, Cqk)
-        dor = do_ref[0, 0, 0, row, :]           # (Br, Cv)
+        dq_acc, dk_acc, dv_acc = carry
+        qr = jax.lax.dynamic_slice_in_dim(qt, rr * br, br, 0)   # (Br, Cqk)
+        dor = jax.lax.dynamic_slice_in_dim(dot, rr * br, br, 0)  # (Br, Cv)
         scores = jax.lax.dot_general(
-            qr, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            qr, k, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
-        prob = _softmax_fp32(scores + bias_ref[0, row, :])
+        prob = _softmax_fp32(scores + bias_ref[0, pl.ds(rr * br, br), :])
         if p > 0.0:
             # mask recomputed (not held live) wherever needed — the hash
             # is VPU-cheap and each (Br, L) fp32 buffer is VMEM-expensive
@@ -481,12 +500,12 @@ def _train_bwd_rb_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
         dv_p = jax.lax.dot_general(
             weights.astype(in_dtype), dor,
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32)          # (L, Cv)
         del weights
-        # dW[l,m] = Σ_c dO[l,c]·V[m,c]
+        # dW[l,m] = Σ_c dO[l,c]·V[c,m]
         dw = jax.lax.dot_general(
-            dor, v, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            dor, v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (Br, L)
         if p > 0.0:
             keep2 = _dropout_keep((1, br, l), p, seed, base, l, l,
                                   row_offset=rr * br)[0]
@@ -498,21 +517,25 @@ def _train_bwd_rb_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
         ds = t - prob * jnp.sum(t, axis=-1, keepdims=True)
         dsb = ds.astype(in_dtype)
         dq_r = jax.lax.dot_general(
-            dsb, k, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
+            dsb, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (Br, Cqk)
         dk_p = jax.lax.dot_general(
             dsb, qr, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        dq_ref[0, 0, 0, row, :] = dq_r.astype(dq_ref.dtype)
-        dbias_ref[0, row, :] = dbias_ref[0, row, :] + ds
-        return dk_acc + dk_p, dv_acc + dv_p
+            preferred_element_type=jnp.float32) * scale  # (L, Cqk)
+        dbias_ref[0, pl.ds(rr * br, br), :] = (
+            dbias_ref[0, pl.ds(rr * br, br), :] + ds)
+        return (jax.lax.dynamic_update_slice_in_dim(dq_acc, dq_r,
+                                                    rr * br, 0),
+                dk_acc + dk_p, dv_acc + dv_p)
 
-    dk, dv = jax.lax.fori_loop(
+    dq, dk, dv = jax.lax.fori_loop(
         0, l // br, body,
         (jnp.zeros((l, c_qk), jnp.float32),
+         jnp.zeros((l, c_qk), jnp.float32),
          jnp.zeros((l, c_v), jnp.float32)))
-    dk_ref[0, 0, 0] = dk.astype(dk_ref.dtype)
-    dv_ref[0, 0, 0] = dv.astype(dv_ref.dtype)
+    dq_ref[0, 0, 0] = dq.T.astype(dq_ref.dtype)
+    dk_ref[0, 0, 0] = dk.T.astype(dk_ref.dtype)
+    dv_ref[0, 0, 0] = dv.T.astype(dv_ref.dtype)
 
 
 # -- pallas_call wrappers ---------------------------------------------------
@@ -530,7 +553,7 @@ def _train_specs(bn, l, c_qk, c_v):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     tok = lambda c: pl.BlockSpec(  # noqa: E731
-        (1, 1, bn, l, c), lambda hh, bb, nn: (bb, hh, nn, 0, 0),
+        (1, 1, bn, c, l), lambda hh, bb, nn: (bb, hh, nn, 0, 0),
         memory_space=pltpu.VMEM)
     seed = pl.BlockSpec((1, 2), lambda hh, bb, nn: (0, 0),
                         memory_space=pltpu.SMEM)
@@ -545,7 +568,7 @@ def _rb_specs(l, c_qk, c_v):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     full = lambda c: pl.BlockSpec(  # noqa: E731
-        (1, 1, 1, l, c), lambda hh, bb, nn: (bb, hh, nn, 0, 0),
+        (1, 1, 1, c, l), lambda hh, bb, nn: (bb, hh, nn, 0, 0),
         memory_space=pltpu.VMEM)
     seed = pl.BlockSpec((1, 2), lambda hh, bb, nn: (0, 0),
                         memory_space=pltpu.SMEM)
@@ -557,15 +580,15 @@ def _rb_specs(l, c_qk, c_v):
 def _train_fwd_pallas(q, k, v, bias, seed, scale, p, interpret=False):
     from jax.experimental import pallas as pl
 
-    b, h, n, l, c_qk = q.shape
-    c_v = v.shape[-1]
+    b, h, n, c_qk, l = q.shape
+    c_v = v.shape[-2]
     if _full_train_fits(l):
         bn = min(_block_windows_train(l), n)
         (q, k, v), n_total = _pad_windows([q, k, v], bn, n)
         seed_spec, tok, bias_spec = _train_specs(bn, l, c_qk, c_v)
         out = pl.pallas_call(
             functools.partial(_train_fwd_kernel, scale=scale, p=p),
-            out_shape=jax.ShapeDtypeStruct((b, h, n_total, l, c_v), v.dtype),
+            out_shape=jax.ShapeDtypeStruct((b, h, n_total, c_v, l), v.dtype),
             grid=(h, b, n_total // bn),
             in_specs=[seed_spec, tok(c_qk), tok(c_qk), tok(c_v), bias_spec],
             out_specs=tok(c_v),
@@ -579,7 +602,7 @@ def _train_fwd_pallas(q, k, v, bias, seed, scale, p, interpret=False):
     return pl.pallas_call(
         functools.partial(_train_fwd_rb_kernel, scale=scale, p=p,
                           br=br, l=l),
-        out_shape=jax.ShapeDtypeStruct((b, h, n, l, c_v), v.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, n, c_v, l), v.dtype),
         grid=(h, b, n),
         in_specs=[seed_spec, full(c_qk), full(c_qk), full(c_v), bias_full],
         out_specs=full(c_v),
@@ -590,8 +613,8 @@ def _train_fwd_pallas(q, k, v, bias, seed, scale, p, interpret=False):
 def _train_bwd_pallas(q, k, v, bias, seed, do, scale, p, interpret=False):
     from jax.experimental import pallas as pl
 
-    b, h, n, l, c_qk = q.shape
-    c_v = v.shape[-1]
+    b, h, n, c_qk, l = q.shape
+    c_v = v.shape[-2]
     if _full_train_fits(l):
         bn = min(_block_windows_train(l), n)
         (q, k, v, do), n_total = _pad_windows([q, k, v, do], bn, n)
@@ -599,9 +622,9 @@ def _train_bwd_pallas(q, k, v, bias, seed, do, scale, p, interpret=False):
         dq, dk, dv, dbias = pl.pallas_call(
             functools.partial(_train_bwd_kernel, scale=scale, p=p),
             out_shape=(
-                jax.ShapeDtypeStruct((b, h, n_total, l, c_qk), q.dtype),
-                jax.ShapeDtypeStruct((b, h, n_total, l, c_qk), k.dtype),
-                jax.ShapeDtypeStruct((b, h, n_total, l, c_v), v.dtype),
+                jax.ShapeDtypeStruct((b, h, n_total, c_qk, l), q.dtype),
+                jax.ShapeDtypeStruct((b, h, n_total, c_qk, l), k.dtype),
+                jax.ShapeDtypeStruct((b, h, n_total, c_v, l), v.dtype),
                 jax.ShapeDtypeStruct((h, l, l), jnp.float32),
             ),
             grid=(h, b, n_total // bn),
@@ -621,9 +644,9 @@ def _train_bwd_pallas(q, k, v, bias, seed, do, scale, p, interpret=False):
         functools.partial(_train_bwd_rb_kernel, scale=scale, p=p,
                           br=br, l=l),
         out_shape=(
-            jax.ShapeDtypeStruct((b, h, n, l, c_qk), q.dtype),
-            jax.ShapeDtypeStruct((b, h, n, l, c_qk), k.dtype),
-            jax.ShapeDtypeStruct((b, h, n, l, c_v), v.dtype),
+            jax.ShapeDtypeStruct((b, h, n, c_qk, l), q.dtype),
+            jax.ShapeDtypeStruct((b, h, n, c_qk, l), k.dtype),
+            jax.ShapeDtypeStruct((b, h, n, c_v, l), v.dtype),
             jax.ShapeDtypeStruct((h, l, l), jnp.float32),
         ),
         grid=(h, b, n),
@@ -640,8 +663,8 @@ def _train_xla(q, k, v, bias, seed, scale, p):
     case for every L ≥ ~256 including the row-blocked path) or the window
     count is a block multiple (no padding). Serves as both the off-TPU
     fallback and the parity oracle."""
-    b, h, n, l, _ = q.shape
-    scores = jnp.einsum("bhnlc,bhnmc->bhnlm",
+    b, h, n, _, l = q.shape
+    scores = jnp.einsum("bhncl,bhncm->bhnlm",
                         q.astype(jnp.float32), k.astype(jnp.float32),
                         preferred_element_type=jnp.float32) * scale
     weights = jax.nn.softmax(scores + bias[None, :, None], axis=-1)
@@ -658,7 +681,7 @@ def _train_xla(q, k, v, bias, seed, scale, p):
                * jnp.uint32(l) + i[None, :])
         keep = _keep_mask(gid, p, s)
         weights = jnp.where(keep, weights / (1.0 - p), 0.0)
-    return jnp.einsum("bhnlm,bhnmc->bhnlc", weights,
+    return jnp.einsum("bhnlm,bhncm->bhncl", weights,
                       v.astype(jnp.float32),
                       preferred_element_type=jnp.float32).astype(v.dtype)
 
