@@ -140,6 +140,41 @@ def test_multi_branch_packed_kernel_layout():
                                    rtol=2e-5, atol=2e-5)
 
 
+def test_group_major_helpers_roundtrip_and_norm():
+    """pack/unpack with groups>1 roundtrips; grouped instance norm and
+    block-diag dense match their logical counterparts on the group-major
+    layout."""
+    from veloxseg_tpu.nn.norms import InstanceNorm
+    rng = np.random.default_rng(21)
+    c, g = 12, 3
+    x = jnp.asarray(rng.standard_normal((2, 4, 6, 8, c)) * 2 + 1,
+                    jnp.float32)
+    xp = packed_conv.pack_s2d(x, g)
+    np.testing.assert_array_equal(
+        np.asarray(packed_conv.unpack_s2d(xp, c, g)), np.asarray(x))
+    ref = InstanceNorm().apply({}, x)
+    got = packed_conv.unpack_s2d(
+        packed_conv.instance_norm_packed(xp, c, g), c, g)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    # block-diag dense: group-major in → parity-major hidden → group-major
+    cout = 8
+    w1 = jnp.asarray(rng.standard_normal((c, cout)), jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((cout,)), jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((cout, c)), jnp.float32)
+    h = packed_conv.block_diag_dense(xp, w1, b1, groups_in=g)
+    z = packed_conv.block_diag_dense(h, w2, None, groups_out=g)
+    ref2 = (x @ w1 + b1) @ w2
+    np.testing.assert_allclose(
+        np.asarray(packed_conv.unpack_s2d(z, c, g)), np.asarray(ref2),
+        rtol=1e-4, atol=1e-4)
+    # gram off the group-major stream == gram of the unpacked tensor
+    from veloxseg_tpu.ops.gram import gram_matrix
+    np.testing.assert_allclose(
+        np.asarray(packed_conv.gram_matrix_packed(xp, c, g)),
+        np.asarray(gram_matrix(x)), rtol=1e-5, atol=1e-5)
+
+
 def test_instance_norm_packed_matches_unpacked():
     from veloxseg_tpu.nn.norms import InstanceNorm
     rng = np.random.default_rng(9)

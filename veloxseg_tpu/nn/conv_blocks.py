@@ -79,6 +79,7 @@ class DownConv(nn.Module):
     groups: int = 1
     use_norm: bool = True
     packed_out: bool = False
+    out_groups: int = 1   # group-major layout of the emitted packed stream
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -93,11 +94,14 @@ class DownConv(nn.Module):
                 features=self.features, kernel_size=(k, k, k),
                 groups=self.groups, name="GroupedConv3d_0")(x.shape[-1])
             wp = packed_conv.packed_out_kernel(
-                kern.astype(x.dtype), x.shape[-1], self.groups, p)
+                kern.astype(x.dtype), x.shape[-1], self.groups, p,
+                out_groups=self.out_groups)
             y = packed_conv.conv_strided_packed_out(x, wp, p)
-            y = y + jnp.tile(bias, 8).astype(y.dtype)
+            y = y + packed_conv.tile_bias(bias,
+                                          self.out_groups).astype(y.dtype)
             if self.use_norm:
-                y = packed_conv.instance_norm_packed(y, self.features)
+                y = packed_conv.instance_norm_packed(y, self.features,
+                                                     self.out_groups)
             return y
         y = GroupedConv3d(
             features=self.features,
@@ -121,6 +125,7 @@ class UpConv(nn.Module):
     features: int
     up_rate: int = 2
     packed_out: bool = False
+    out_groups: int = 1   # group-major layout of the emitted packed stream
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -134,14 +139,16 @@ class UpConv(nn.Module):
         if self.packed_out and packed_conv.enabled() and r == 2:
             # ×2 upsample of grid S produces a stream whose PACKED grid is
             # S itself — so with the Dense columns permuted from the
-            # pixel-shuffle (c, r³) order to the packed (r³, c) order, the
-            # projection output IS the packed stream: no spatial op at all.
-            kern = kern.reshape(x.shape[-1], self.features, 8)
-            kern = kern.transpose(0, 2, 1).reshape(x.shape[-1],
-                                                   8 * self.features)
+            # pixel-shuffle (c, r³) order to the packed group-major
+            # (g, r³, cg) order, the projection output IS the packed
+            # stream: no spatial op at all.
+            g = self.out_groups
+            kern = kern.reshape(x.shape[-1], g, self.features // g, 8)
+            kern = kern.transpose(0, 1, 3, 2).reshape(x.shape[-1],
+                                                      8 * self.features)
             y = x @ kern.astype(x.dtype)
-            y = y + jnp.tile(bias, 8).astype(y.dtype)
-            return packed_conv.instance_norm_packed(y, self.features)
+            y = y + packed_conv.tile_bias(bias, g).astype(y.dtype)
+            return packed_conv.instance_norm_packed(y, self.features, g)
         y = x @ kern.astype(x.dtype)
         y = pixel_shuffle_3d(y, r)
         y = y + bias.astype(y.dtype)
@@ -211,13 +218,10 @@ class JLC(nn.Module):
 
         xp = x if packed_io else packed_conv.pack_s2d(x)
         y = packed_conv.conv_packed(xp, wp)     # (…, nb·8·c) branch-major
-        # bias: per branch, per logical channel, tiled over parity
-        bias_full = jnp.concatenate(
-            [jnp.tile(bb, 8) for bb in biases]).astype(y.dtype)
-        y = y + bias_full
+        y = y + packed_conv.branch_bias(biases, 1).astype(y.dtype)
         if multi:
             # per-branch IN (per logical channel over spatial+parity) + act
-            y = act(packed_conv.instance_norm_packed(y, c))
+            y = act(packed_conv.instance_norm_packed(y, c, 1, nb))
         out = xp + sum(y[..., i * 8 * c:(i + 1) * 8 * c]
                        for i in range(nb))
 

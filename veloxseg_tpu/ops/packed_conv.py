@@ -7,17 +7,24 @@ residual sums of parallel *grouped* convolutions (k ∈ {1,3,5}, group size
 ``min_dim_group`` = 4–16) over small channel counts (16–128). On the MXU a
 grouped conv with 4 output channels per weight block can use at most
 4/128ths of the systolic array, and XLA's grouped-conv emitter runs these
-shapes at ~0.7–1.7 TF/s (fenced, chip-measured) — they dominate the train
-step (≈192 ms of a 472 ms step at 128³/bs16).
+shapes at ~1–2 TF/s (fenced, chip-measured) — they dominate the train
+step. The fix: execute the conv in a 2×2×2 space-to-depth ("packed")
+layout. For even spatial dims, a stride-1 conv with odd k ≤ 5 becomes a
+k=3 conv on the half-resolution grid with 8× the channels; the three
+kernel sizes of a JLC block merge into ONE conv whose weights are
+gathered at trace time from the *unchanged* grouped parameters (zeros
+everywhere the kernel-size structure demands). Same math, same parameter
+pytree, same checkpoints.
 
-The fix: execute the conv in a 2×2×2 space-to-depth ("packed") layout.
-For even spatial dims, a stride-1 conv with odd k ≤ 5 becomes a k=3 conv
-on the half-resolution grid with 8× the channels; the three kernel sizes
-of a JLC block and all groups merge into ONE dense (8·C → 8·3C) conv
-whose weights are gathered at trace time from the *unchanged* grouped
-parameters (zeros everywhere the grouped/kernel-size structure demands).
-Same math, same parameter pytree, same checkpoints — 10.9× faster
-fwd+bwd at the stage-1 shape (4.2 ms vs 46 ms, raw 123 TF/s, fenced).
+Stream channel layout — GROUP-major: packed channel
+``(g·8 + ((rd·2+rh)·2+rw))·cg + c`` for logical channel ``g·cg + c`` and
+spatial parity ``r``. The packed conv then runs with
+``feature_group_count = G`` (per-group width 8·cg = 32–128), which keeps
+the logical group structure — chip A/B at the four flagship stage shapes
+(fwd+bwd, fenced): group-preserving beats group-densified 1.0×/2.0×/
+2.3×/3.1× (the densified kernel wastes G× FLOPs on zero blocks), and both
+beat XLA's logical grouped conv 12–48×. ``groups=1`` degenerates to the
+parity-major layout. All helpers below take the stream's ``groups``.
 
 Derivation: output voxel p = 2q + r_out needs input taps
 x[p + o - k//2] = x[2(q + t) + r_in] with, per spatial dim,
@@ -31,7 +38,7 @@ from __future__ import annotations
 
 import os
 from functools import lru_cache
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -49,20 +56,22 @@ def enabled() -> bool:
     return _ENABLED
 
 
-def pack_s2d(x: jnp.ndarray) -> jnp.ndarray:
-    """(B, D, H, W, C) → (B, D/2, H/2, W/2, 8·C), parity-major packing
-    (packed channel = ((rd·2 + rh)·2 + rw)·C + c)."""
+def pack_s2d(x: jnp.ndarray, groups: int = 1) -> jnp.ndarray:
+    """(B, D, H, W, C) → (B, D/2, H/2, W/2, 8·C) in the group-major
+    packed layout (packed channel = (g·8 + r)·cg + c)."""
     b, d, h, w, c = x.shape
-    x = x.reshape(b, d // 2, 2, h // 2, 2, w // 2, 2, c)
-    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    cg = c // groups
+    x = x.reshape(b, d // 2, 2, h // 2, 2, w // 2, 2, groups, cg)
+    x = x.transpose(0, 1, 3, 5, 7, 2, 4, 6, 8)
     return x.reshape(b, d // 2, h // 2, w // 2, 8 * c)
 
 
-def unpack_s2d(x: jnp.ndarray, channels: int) -> jnp.ndarray:
+def unpack_s2d(x: jnp.ndarray, channels: int, groups: int = 1) -> jnp.ndarray:
     """Inverse of :func:`pack_s2d`."""
     b, d, h, w, _ = x.shape
-    x = x.reshape(b, d, h, w, 2, 2, 2, channels)
-    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    cg = channels // groups
+    x = x.reshape(b, d, h, w, groups, 2, 2, 2, cg)
+    x = x.transpose(0, 1, 5, 2, 6, 3, 7, 4, 8)
     return x.reshape(b, 2 * d, 2 * h, 2 * w, channels)
 
 
@@ -88,61 +97,56 @@ def _scatter_matrix(k: int) -> np.ndarray:
     return m.reshape(k ** 3, 27 * 64)
 
 
-def _dense_from_grouped(w: jnp.ndarray, in_ch: int,
-                        groups: int) -> jnp.ndarray:
-    """(k,k,k, C_in/G, C_out) grouped weights → (k,k,k, C_in, C_out)
-    block-diagonal dense weights (zeros off the group blocks)."""
-    k = w.shape[0]
-    cg = in_ch // groups
-    out = w.shape[-1]
-    og = np.arange(out) // (out // groups)            # group of each out-ch
-    ci = og[None, :] * cg + np.arange(cg)[:, None]    # (cg, out)
-    oc = np.broadcast_to(np.arange(out)[None, :], ci.shape)
-    dense = jnp.zeros((k, k, k, in_ch, out), w.dtype)
-    return dense.at[:, :, :, ci, oc].set(w)
-
-
 def packed_kernel(weights: Sequence[Tuple[int, jnp.ndarray]], in_ch: int,
                   groups: int) -> jnp.ndarray:
-    """Merge grouped-conv branch weights into one packed dense kernel.
+    """Merge grouped-conv branch weights into one packed DENSE kernel.
 
     ``weights`` — [(k, W_k)] with W_k of shape (k,k,k, C_in/G, C_out); all
     k odd, k ≤ 5. Returns (3, 3, 3, 8·C_in, n_b·8·C_out): out-channel
     layout is BRANCH-major with the parity-major stream layout inside
-    each branch block, i.e. packed out-ch = b·(8·C_out) + r_out·C_out + j
-    — so each branch's slice ``y[..., b·8C:(b+1)·8C]`` is itself a valid
-    packed stream (keeps the minor dim ≥ 8·C for TPU lane tiling; a
-    (…, 8, n_b, C) view would pad C up to 128 lanes and run ~10× slower).
+    each branch block — so each branch's slice ``y[..., b·8C:(b+1)·8C]``
+    is itself a valid packed stream.
+
+    Dense (not ``feature_group_count=G``) is deliberate: XLA decomposes a
+    feature-grouped conv into per-group convs inside the full program
+    (113 conv ops and 5× the compile time at the flagship config, chip-
+    traced) and forces a branch-sum over a non-contiguous channel factor
+    that cost 24 ms/step — the dense kernel wastes G× FLOPs on zero
+    blocks but runs at ~160 TF/s with contiguous branch slices, which is
+    faster end-to-end at every stage.
 
     This repack runs INSIDE every train step (the params are the logical
-    grouped weights), so it is built from a handful of fused ops — pad to
-    kmax taps, ONE constant-matrix matmul into the packed tap/parity
-    slots, block-diagonal group expansion as a broadcast multiply by
-    eye(G), one transpose — rather than per-branch scatter chains, whose
-    forward+backward op spam cost real milliseconds per step.
+    grouped weights), so it is built from a handful of fused ops: the
+    group densification happens at LOGICAL scale (a (k³, G, cg, C_out)
+    masked broadcast — tiny), then pad to kmax taps, ONE constant-matrix
+    matmul into the packed tap/parity slots, one transpose. Densifying
+    AFTER the packed expansion instead costs a G²-parity-sized zero-block
+    intermediate whose forward+backward measured ~45 ms/step.
     """
     kmax = max(k for k, _ in weights)
     nb = len(weights)
-    cg = in_ch // groups
     cout = weights[0][1].shape[-1]
-    cog = cout // groups
+    if groups > 1:
+        # mask[g, o] = 1 iff out-channel o belongs to group g
+        mask = jnp.asarray(
+            np.repeat(np.eye(groups, dtype=np.float32),
+                      cout // groups, axis=1))
     padded = []
     for k, w in weights:
+        if groups > 1:
+            d = (w[:, :, :, None, :, :]
+                 * mask[:, None, :].astype(w.dtype)
+                 ).reshape(k, k, k, in_ch, cout)
+        else:
+            d = w
         p = (kmax - k) // 2
-        padded.append(jnp.pad(w, [(p, p)] * 3 + [(0, 0), (0, 0)]))
-    # (K,K,K, cg, nb·cout) — branch on the out axis, group blocks intact
-    wd = jnp.stack(padded, axis=-2)                 # (K,K,K, cg, nb, cout)
+        padded.append(jnp.pad(d, [(p, p)] * 3 + [(0, 0), (0, 0)]))
+    wd = jnp.stack(padded, axis=-2)               # (K,K,K, Cin, nb, Cout)
     scatter = jnp.asarray(_scatter_matrix(kmax), dtype=wd.dtype)
-    flat = wd.reshape(kmax ** 3, cg * nb * cout)
-    g = (scatter.T @ flat).reshape(27, 8, 8, cg, nb, groups, cog)
-    # block-diag group expansion: out group h only sees in-channels of
-    # group h — one broadcast multiply, no scatters
-    eye = jnp.asarray(np.eye(groups), dtype=wd.dtype)
-    g = g[:, :, :, None, :, :, :, :] * eye[None, None, None, :, None, None,
-                                           :, None]
-    # (27, rin, rout, G_in, cg, nb, G_out, cog)
-    # → (27, rin, G_in, cg, nb, rout, G_out, cog)
-    g = g.transpose(0, 1, 3, 4, 5, 2, 6, 7)
+    flat = wd.reshape(kmax ** 3, in_ch * nb * cout)
+    g = (scatter.T @ flat).reshape(27, 8, 8, in_ch, nb, cout)
+    # (27, rin, rout, Cin, nb, Cout) → (27, rin, Cin, nb, rout, Cout)
+    g = g.transpose(0, 1, 3, 4, 2, 5)
     return g.reshape(3, 3, 3, 8 * in_ch, nb * 8 * cout)
 
 
@@ -157,36 +161,58 @@ def packable(spatial: Sequence[int]) -> bool:
     return _ENABLED and all(s % 2 == 0 and s >= 2 for s in spatial)
 
 
-def instance_norm_packed(y: jnp.ndarray, channels: int,
+def branch_bias(biases: Sequence[jnp.ndarray], groups: int) -> jnp.ndarray:
+    """Per-branch logical biases (n_b arrays of (C,)) → the packed
+    (G·n_b·8·cog,) bias of :func:`conv_packed`'s output layout."""
+    nb = len(biases)
+    c = biases[0].shape[0]
+    cog = c // groups
+    b = jnp.stack(biases).reshape(nb, groups, cog)     # (nb, G, cog)
+    b = jnp.broadcast_to(b.transpose(1, 0, 2)[:, :, None, :],
+                         (groups, nb, 8, cog))
+    return b.reshape(groups * nb * 8 * cog)
+
+
+def tile_bias(bias: jnp.ndarray, groups: int = 1) -> jnp.ndarray:
+    """Logical (C,) bias → packed (8·C,) bias in group-major layout."""
+    c = bias.shape[0]
+    cg = c // groups
+    b = jnp.broadcast_to(bias.reshape(groups, 1, cg), (groups, 8, cg))
+    return b.reshape(8 * c)
+
+
+def instance_norm_packed(y: jnp.ndarray, channels: int, groups: int = 1,
+                         branches: int = 1,
                          eps: float = 1e-5) -> jnp.ndarray:
     """InstanceNorm of a packed stream — per logical channel over
     (spatial, parity) — identical statistics to the unpacked per-channel
     spatial normalization.
 
-    ``y`` is (B, D, H, W, K) with K = n·8·channels for any leading block
-    factor n (branch-major): stats are computed per (block, channel) by
-    reducing the spatial axes first (big tensor → (B, K) in one fused
-    reduce) and folding the 8 parity slots on the small (B, K) tensor —
-    the big tensor is never reshaped to a narrow-minor-dim view (TPU
-    lane-padding poison, see :func:`packed_kernel`)."""
+    ``y`` is (B, D, H, W, K) with K = G·branches·8·cog in the group-major
+    conv-output layout (branches=1 for a plain stream): stats are
+    computed per (group, branch, channel) by reducing the spatial axes
+    first (big tensor → (B, K) in one fused reduce) and folding the 8
+    parity slots on the small (B, K) tensor — the big tensor is never
+    reshaped to a narrow-minor-dim view (TPU lane-padding poison)."""
     b = y.shape[0]
     k = y.shape[-1]
-    n = k // (8 * channels)
+    cog = channels // groups
     xf = y.astype(jnp.float32)
     s1 = jnp.sum(xf, axis=(1, 2, 3))                   # (B, K)
     s2 = jnp.sum(jnp.square(xf), axis=(1, 2, 3))       # (B, K)
     count = float(np.prod(y.shape[1:4]) * 8)
-    s1 = jnp.sum(s1.reshape(b, n, 8, channels), axis=2)
-    s2 = jnp.sum(s2.reshape(b, n, 8, channels), axis=2)
+    s1 = jnp.sum(s1.reshape(b, groups, branches, 8, cog), axis=3)
+    s2 = jnp.sum(s2.reshape(b, groups, branches, 8, cog), axis=3)
     mean = s1 / count
     var = s2 / count - jnp.square(mean)
-    scale = lax.rsqrt(jnp.maximum(var, 0.0) + eps)     # (B, n, channels)
+    scale = lax.rsqrt(jnp.maximum(var, 0.0) + eps)  # (B, G, nb, cog)
     shift = mean * scale
-    # broadcast back to the packed layout: (B, n, 1, channels) → (B, K)
-    scale = jnp.broadcast_to(scale[:, :, None, :],
-                             (b, n, 8, channels)).reshape(b, 1, 1, 1, k)
-    shift = jnp.broadcast_to(shift[:, :, None, :],
-                             (b, n, 8, channels)).reshape(b, 1, 1, 1, k)
+    scale = jnp.broadcast_to(scale[:, :, :, None, :],
+                             (b, groups, branches, 8, cog)
+                             ).reshape(b, 1, 1, 1, k)
+    shift = jnp.broadcast_to(shift[:, :, :, None, :],
+                             (b, groups, branches, 8, cog)
+                             ).reshape(b, 1, 1, 1, k)
     return (xf * scale - shift).astype(y.dtype)
 
 
@@ -211,20 +237,37 @@ def _down_scatter_matrix(k: int, stride: int) -> np.ndarray:
     return m.reshape(k ** 3, kp ** 3 * 8)
 
 
+def _dense_from_grouped(w: jnp.ndarray, in_ch: int,
+                        groups: int) -> jnp.ndarray:
+    """(k,k,k, C_in/G, C_out) grouped weights → (k,k,k, C_in, C_out)
+    block-diagonal dense weights (zeros off the group blocks). Only used
+    for strided DownConvs (groups=1 in every flagship config)."""
+    k = w.shape[0]
+    cg = in_ch // groups
+    out = w.shape[-1]
+    og = np.arange(out) // (out // groups)            # group of each out-ch
+    ci = og[None, :] * cg + np.arange(cg)[:, None]    # (cg, out)
+    oc = np.broadcast_to(np.arange(out)[None, :], ci.shape)
+    dense = jnp.zeros((k, k, k, in_ch, out), w.dtype)
+    return dense.at[:, :, :, ci, oc].set(w)
+
+
 def packed_out_kernel(w: jnp.ndarray, in_ch: int, groups: int,
-                      stride: int) -> jnp.ndarray:
+                      stride: int, out_groups: int = 1) -> jnp.ndarray:
     """(k,k,k, C_in/G, C_out) weights of a (stride p, pad p−1) conv →
     (k+p, k+p, k+p, C_in, 8·C_out) weights whose (stride 2p, pad (p−1, 0))
-    conv emits the 2×2×2-packed output stream directly (parity-major:
-    out-ch = r·C_out + c). Use with :func:`conv_strided_packed_out`."""
+    conv emits the 2×2×2-packed output stream directly, in the
+    group-major layout of ``out_groups`` (the consumer level's group
+    count). Use with :func:`conv_strided_packed_out`."""
     k = w.shape[0]
     dense = _dense_from_grouped(w, in_ch, groups) if groups > 1 else w
     cout = dense.shape[-1]
+    cog = cout // out_groups
     kp = k + stride
     scatter = jnp.asarray(_down_scatter_matrix(k, stride), dtype=dense.dtype)
     flat = dense.reshape(k ** 3, in_ch * cout)
-    g = (scatter.T @ flat).reshape(kp, kp, kp, 8, in_ch, cout)
-    g = g.transpose(0, 1, 2, 4, 3, 5)             # (…, Cin, rout, Cout)
+    g = (scatter.T @ flat).reshape(kp, kp, kp, 8, in_ch, out_groups, cog)
+    g = g.transpose(0, 1, 2, 4, 5, 3, 6)          # (…, Cin, G, rout, cog)
     return g.reshape(kp, kp, kp, in_ch, 8 * cout)
 
 
@@ -238,53 +281,46 @@ def conv_strided_packed_out(x: jnp.ndarray, wp: jnp.ndarray,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
 
 
-def head_pixel_shuffle(y: jnp.ndarray, scale: int,
-                       out_ch: int) -> jnp.ndarray:
-    """Depth-to-space of a PACKED head-conv output in one transpose.
-
-    ``y`` (B, G, G, G, 8·out_ch·scale³) with channel factor
-    (parity r, out_ch, s³) — the packed conv of a head whose logical
-    output channels factor (out_ch, s³) as ``pixel_shuffle_3d`` expects.
-    Fine-grid voxel = coarse·(2·scale) + (r·scale + s) per axis.
-    Returns (B, 2·scale·G, …, out_ch)."""
-    b, d, h, w, _ = y.shape
-    s = scale
-    y = y.reshape(b, d, h, w, 2, 2, 2, out_ch, s, s, s)
-    # (B, d, rd, sd, h, rh, sh, w, rw, sw, out_ch)
-    y = y.transpose(0, 1, 4, 8, 2, 5, 9, 3, 6, 10, 7)
-    return y.reshape(b, d * 2 * s, h * 2 * s, w * 2 * s, out_ch)
-
-
-def gram_matrix_packed(xp: jnp.ndarray, channels: int) -> jnp.ndarray:
+def gram_matrix_packed(xp: jnp.ndarray, channels: int,
+                       groups: int = 1) -> jnp.ndarray:
     """Gram matrix of a packed stream — identical to
-    ``gram_matrix(unpack_s2d(xp, channels))`` without the unpack."""
+    ``gram_matrix(unpack_s2d(xp, channels, groups))`` without the
+    unpack."""
     b = xp.shape[0]
+    cg = channels // groups
     spatial = int(np.prod(xp.shape[1:4])) * 8
-    xf = xp.reshape(b, -1, 8, channels)
+    xf = xp.reshape(b, -1, groups, 8, cg)
     g = lax.dot_general(
         xf, xf,
-        dimension_numbers=(((1, 2), (1, 2)), ((0,), (0,))),
+        dimension_numbers=(((1, 3), (1, 3)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
         precision=lax.Precision.HIGHEST,
-    )
+    )                                             # (B, G, cg, G, cg)
+    g = g.reshape(b, channels, channels)
     return g / float(channels * spatial)
 
 
 def block_diag_dense(x: jnp.ndarray, kernel: jnp.ndarray,
-                     bias: jnp.ndarray | None) -> jnp.ndarray:
+                     bias: jnp.ndarray | None, groups_in: int = 1,
+                     groups_out: int = 1) -> jnp.ndarray:
     """Per-parity Dense on a packed stream without unpacking.
 
-    ``x`` (…, 8·cin) parity-major; applies the logical (cin → cout)
-    ``kernel`` independently to each parity slot by expanding it to the
-    block-diagonal (8·cin, 8·cout) matrix (Kronecker with I₈) — an
+    ``x`` (…, 8·cin) in the group-major layout of ``groups_in``; applies
+    the logical (cin → cout) ``kernel`` independently to each parity slot
+    by expanding it to the permuted block-diagonal (8·cin, 8·cout) matrix
+    whose output is in the group-major layout of ``groups_out`` — an
     MXU-shaped matmul instead of a lane-padded (…, 8, cin) reshape. 8×
     raw-FLOP inflation, but these matmuls are bandwidth-bound at JLC
     widths, so the wall cost is the clean layout's."""
     cin, cout = kernel.shape
+    cgi = cin // groups_in
+    cgo = cout // groups_out
     eye = jnp.eye(8, dtype=kernel.dtype)
-    big = (eye[:, None, :, None] * kernel[None, :, None, :]
+    k4 = kernel.reshape(groups_in, cgi, groups_out, cgo)
+    # (Gi, r, cgi, Go, r', cgo)
+    big = (k4[:, None, :, :, None, :] * eye[None, :, None, None, :, None]
            ).reshape(8 * cin, 8 * cout)
     y = x @ big.astype(x.dtype)
     if bias is not None:
-        y = y + jnp.tile(bias, 8).astype(y.dtype)
+        y = y + tile_bias(bias, groups_out).astype(y.dtype)
     return y

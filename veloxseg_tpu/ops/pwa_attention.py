@@ -416,10 +416,9 @@ def _train_fwd_rb_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
     is fp32. Softmax is exact per row (a full score row is present).
 
     Operands are (…, C, L); score rows index q tokens, so q is transposed
-    ONCE in VMEM to (L, C) (tiny) and the output accumulates in an (L, Cv)
-    carry transposed back at the end — row blocks then slice only the
-    SUBLANE dim, which needs no 128-lane alignment."""
-    from jax.experimental import pallas as pl
+    ONCE in VMEM to (L, C) (tiny). The row-block loop is a STATIC Python
+    unroll (L/Br is small): Mosaic has no lowering for dynamic_slice on
+    VMEM values, and static slices also skip lane-alignment constraints."""
     k = k_ref[0, 0, 0]                          # (Cqk, L)
     v = v_ref[0, 0, 0]                          # (Cv, L)
     qt = q_ref[0, 0, 0].T                       # (L, Cqk) — one small copy
@@ -427,27 +426,24 @@ def _train_fwd_rb_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
         seed, off = _seed_and_offset(seed_ref)
         base = _global_window_base(1, off)
 
-    def body(rr, out_acc):
-        qr = jax.lax.dynamic_slice_in_dim(qt, rr * br, br, 0)  # (Br, Cqk)
+    outs = []
+    for rr in range(l // br):
+        qr = qt[rr * br:(rr + 1) * br]                    # (Br, Cqk)
         scores = jax.lax.dot_general(
             qr, k, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
         weights = _softmax_fp32(
-            scores + bias_ref[0, pl.ds(rr * br, br), :])
+            scores + bias_ref[0, rr * br:(rr + 1) * br, :])
         if p > 0.0:
             keep = _dropout_keep((1, br, l), p, seed, base, l, l,
                                  row_offset=rr * br)[0]
             weights = jnp.where(keep, weights * (1.0 / (1.0 - p)), 0.0)
-        out = jax.lax.dot_general(
-            weights.astype(v.dtype), v,
+        # (Cv, Br) directly — no final transpose of the full window
+        outs.append(jax.lax.dot_general(
+            v, weights.astype(v.dtype),
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)       # (Br, Cv)
-        return jax.lax.dynamic_update_slice_in_dim(out_acc, out, rr * br, 0)
-
-    c_v = v.shape[0]
-    out = jax.lax.fori_loop(
-        0, l // br, body, jnp.zeros((l, c_v), jnp.float32))
-    o_ref[0, 0, 0] = out.T.astype(o_ref.dtype)
+            preferred_element_type=jnp.float32))
+    o_ref[0, 0, 0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
 
 
 def _train_bwd_rb_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
@@ -455,19 +451,18 @@ def _train_bwd_rb_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
                          scale: float, p: float, br: int, l: int):
     """Row-blocked backward, grid (h, b, n). Per window:
 
-    - loop L/Br row blocks: recompute (Br, L) score rows + softmax +
-      dropout mask, write dq rows, accumulate dk/dv in a (L, C) fp32
-      fori-loop carry, accumulate dbias rows into the per-head (L, L)
-      block (revisited consecutively across (b, n) — zeroed at its first
-      visit) with dynamic row-slice stores.
+    - statically-unrolled L/Br row blocks (no Mosaic lowering exists for
+      dynamic_slice on VMEM values): recompute (Br, L) score rows +
+      softmax + dropout mask, collect dq row blocks, accumulate dk/dv in
+      (C, L) fp32 accumulators, accumulate dbias rows into the per-head
+      (L, L) block (revisited consecutively across (b, n) — zeroed at
+      its first visit).
     """
     from jax.experimental import pallas as pl
     k = k_ref[0, 0, 0]                          # (Cqk, L)
     v = v_ref[0, 0, 0]                          # (Cv, L)
     qt = q_ref[0, 0, 0].T                       # (L, Cqk)
     dot = do_ref[0, 0, 0].T                     # (L, Cv)
-    c_qk = k.shape[0]
-    c_v = v.shape[0]
     in_dtype = k.dtype
     if p > 0.0:
         seed, off = _seed_and_offset(seed_ref)
@@ -480,14 +475,17 @@ def _train_bwd_rb_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
     def _():
         dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
 
-    def body(rr, carry):
-        dq_acc, dk_acc, dv_acc = carry
-        qr = jax.lax.dynamic_slice_in_dim(qt, rr * br, br, 0)   # (Br, Cqk)
-        dor = jax.lax.dynamic_slice_in_dim(dot, rr * br, br, 0)  # (Br, Cv)
+    dq_rows = []
+    dk_acc = jnp.zeros(k.shape, jnp.float32)
+    dv_acc = jnp.zeros(v.shape, jnp.float32)
+    for rr in range(l // br):
+        row = slice(rr * br, (rr + 1) * br)
+        qr = qt[row]                                     # (Br, Cqk)
+        dor = dot[row]                                   # (Br, Cv)
         scores = jax.lax.dot_general(
             qr, k, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
-        prob = _softmax_fp32(scores + bias_ref[0, pl.ds(rr * br, br), :])
+        prob = _softmax_fp32(scores + bias_ref[0, row, :])
         if p > 0.0:
             # mask recomputed (not held live) wherever needed — the hash
             # is VPU-cheap and each (Br, L) fp32 buffer is VMEM-expensive
@@ -496,11 +494,11 @@ def _train_bwd_rb_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
             weights = jnp.where(keep, prob * inv, 0.0)
         else:
             weights = prob
-        # dV[m,c] += Σ_l W[l,m]·dO[l,c]   (weights cast like the XLA path)
-        dv_p = jax.lax.dot_general(
-            weights.astype(in_dtype), dor,
+        # dV[c,m] += Σ_l dO[l,c]·W[l,m]   (weights cast like the XLA path)
+        dv_acc = dv_acc + jax.lax.dot_general(
+            dor, weights.astype(in_dtype),
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (L, Cv)
+            preferred_element_type=jnp.float32)          # (Cv, L)
         del weights
         # dW[l,m] = Σ_c dO[l,c]·V[c,m]
         dw = jax.lax.dot_general(
@@ -516,26 +514,18 @@ def _train_bwd_rb_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
         t = prob * dprob
         ds = t - prob * jnp.sum(t, axis=-1, keepdims=True)
         dsb = ds.astype(in_dtype)
-        dq_r = jax.lax.dot_general(
-            dsb, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # (Br, Cqk)
-        dk_p = jax.lax.dot_general(
-            dsb, qr, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # (L, Cqk)
-        dbias_ref[0, pl.ds(rr * br, br), :] = (
-            dbias_ref[0, pl.ds(rr * br, br), :] + ds)
-        return (jax.lax.dynamic_update_slice_in_dim(dq_acc, dq_r,
-                                                    rr * br, 0),
-                dk_acc + dk_p, dv_acc + dv_p)
+        # dq[c, row] = scale·K[c,m]·dS[row,m]
+        dq_rows.append(jax.lax.dot_general(
+            k, dsb, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale)  # (Cqk, Br)
+        dk_acc = dk_acc + jax.lax.dot_general(
+            qr, dsb, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (Cqk, L)
+        dbias_ref[0, row, :] = dbias_ref[0, row, :] + ds
 
-    dq, dk, dv = jax.lax.fori_loop(
-        0, l // br, body,
-        (jnp.zeros((l, c_qk), jnp.float32),
-         jnp.zeros((l, c_qk), jnp.float32),
-         jnp.zeros((l, c_v), jnp.float32)))
-    dq_ref[0, 0, 0] = dq.T.astype(dq_ref.dtype)
-    dk_ref[0, 0, 0] = dk.T.astype(dk_ref.dtype)
-    dv_ref[0, 0, 0] = dv.T.astype(dv_ref.dtype)
+    dq_ref[0, 0, 0] = jnp.concatenate(dq_rows, axis=1).astype(dq_ref.dtype)
+    dk_ref[0, 0, 0] = dk_acc.astype(dk_ref.dtype)
+    dv_ref[0, 0, 0] = dv_acc.astype(dv_ref.dtype)
 
 
 # -- pallas_call wrappers ---------------------------------------------------
