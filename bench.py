@@ -131,6 +131,7 @@ def bench_train(batch=16, size=(128, 128, 128), channels=2,
                                                 train_step_fn)
 
     model, cfg = _flagship(size)
+    model = model.clone(train_blocked_heads=True)
     key = jax.random.PRNGKey(0)
     rng = np.random.default_rng(0)
     k = steps_per_dispatch
@@ -144,7 +145,9 @@ def bench_train(batch=16, size=(128, 128, 128), channels=2,
         {"params": key, "dropout": key}, x0, train=True)
     tcfg = {"deep_Loss_weight": [1, 1, 1, 1], "RC_Loss_weight": 0.5,
             "Feature_Loss_weight": 2.0}
-    loss_obj = CompositeLoss("VeloxSeg", tcfg, num_modal=channels)
+    loss_obj = CompositeLoss("VeloxSeg", tcfg, num_modal=channels,
+                             blocked_scale=cfg.patch_size,
+                             blocked_in_ch=cfg.in_ch)
     tx = build_optimizer("adamw", {"lr": 2.5e-4, "weight_decay": 0.01})
     state = create_train_state(model, variables["params"], tx)
     if k > 1:

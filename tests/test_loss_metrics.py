@@ -150,3 +150,62 @@ def test_deep_metrics_per_head():
     assert float(per_head[0]["dice"]) == pytest.approx(1.0, abs=1e-3)
     assert float(per_head[1]["dice"]) == pytest.approx(0.0, abs=1e-3)
     assert int(per_head[0]["pred_pix"]) == int(per_head[0]["label_pix"])
+
+
+def test_blocked_heads_training_is_exact():
+    """VeloxSeg(train_blocked_heads=True) + CompositeLoss(blocked_scale)
+    computes the SAME loss and step metrics as the pixel-shuffled path
+    with the same parameters (CE/Dice/MSE are voxel-wise sums; the
+    blocked layout only reorders voxels)."""
+    import numpy as np
+    from veloxseg_tpu.core.config import VeloxSegConfig
+    from veloxseg_tpu.nn.veloxseg import VeloxSeg
+    from veloxseg_tpu.train.loss import CompositeLoss
+    from veloxseg_tpu.train.train_state import (_metrics_aux,
+                                                _train_step_body,
+                                                create_train_state)
+    from veloxseg_tpu.train.optim import build_optimizer
+
+    cfg = VeloxSegConfig().replace(
+        input_size=(32, 32, 32), base_ch=8, attn_base_ch=8,
+        depths=(1, 1, 1, 1), conv_depths=(1, 1, 1, 1),
+        min_big_window_sizes=((2, 2, 2), (2, 2, 2), (2, 2, 2), (1, 1, 1)),
+        attn_drop=0.0, proj_drop=0.0, conv_drop=0.0)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 32, 2)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((2, 32, 32, 32)) > 1.0, jnp.int32)
+    key = jax.random.PRNGKey(0)
+    tcfg = {"deep_Loss_weight": [1, 1, 1, 1], "RC_Loss_weight": 0.5,
+            "Feature_Loss_weight": 2.0}
+    tx = build_optimizer("adamw", {"lr": 1e-3, "weight_decay": 0.01})
+
+    results = {}
+    for blocked in (False, True):
+        model = VeloxSeg(cfg, train_blocked_heads=blocked)
+        variables = model.init({"params": jax.random.PRNGKey(7),
+                                "dropout": key}, x[:1], train=True)
+        loss_obj = CompositeLoss(
+            "VeloxSeg", tcfg, num_modal=2,
+            blocked_scale=cfg.patch_size if blocked else 0,
+            blocked_in_ch=cfg.in_ch if blocked else None)
+        state = create_train_state(model, variables["params"], tx)
+        step = jax.jit(_train_step_body(loss_obj))
+        new_state, aux = step(state, x, y, key)
+        results[blocked] = (new_state, aux)
+
+    # same init (same param tree regardless of the flag) => identical step
+    (su, au), (sb, ab) = results[False], results[True]
+    np.testing.assert_allclose(float(ab["loss"]), float(au["loss"]),
+                               rtol=2e-5)
+    for k in ("dice", "precision", "recall"):
+        if k in au:
+            np.testing.assert_allclose(np.asarray(ab[k]),
+                                       np.asarray(au[k]),
+                                       rtol=1e-4, atol=1e-5)
+
+    # NOT compared: post-AdamW params — conv biases feeding InstanceNorm
+    # have exactly-zero gradients in exact arithmetic, so both paths
+    # produce only fp32 cancellation noise there and Adam's normalizer
+    # amplifies that noise to lr scale. The loss/metric equality above
+    # plus the shared-everything-else step is the meaningful contract.
+    del su, sb

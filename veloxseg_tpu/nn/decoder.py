@@ -44,6 +44,7 @@ class SegDecoder(nn.Module):
     expansion_factor: Tuple[int, ...] = (3, 3, 2, 2)
     dropout: float = 0.0
     deep_supervision: bool = False
+    blocked_head: bool = False   # skip pixel-shuffle: emit (…, p³·out_ch)
 
     @nn.compact
     def __call__(self, encs, deterministic: bool):
@@ -105,7 +106,8 @@ class SegDecoder(nn.Module):
         out = GroupedConv3d(features=p ** 3 * self.out_ch,
                             kernel_size=(3, 3, 3),
                             name="out_conv1")(feats[1])
-        out = pixel_shuffle_3d(out, p)
+        if not self.blocked_head:
+            out = pixel_shuffle_3d(out, p)
 
         preds: List[jnp.ndarray] = [out]
         if self.deep_supervision:
@@ -132,6 +134,7 @@ class RCDecoder(nn.Module):
     min_dim_group: Tuple[int, ...] = (4, 8, 8, 16)
     expansion_factor: Tuple[int, ...] = (3, 3, 2, 2)
     dropout: float = 0.0
+    blocked_head: bool = False   # skip pixel-shuffle: emit (…, p³·in_ch)
 
     @nn.compact
     def __call__(self, encs, deterministic: bool):
@@ -182,5 +185,6 @@ class RCDecoder(nn.Module):
             gram = gram_matrix(h)
         rec = GroupedConv3d(features=p ** 3 * self.in_channel,
                             kernel_size=(3, 3, 3), name="out_conv")(h)
-        rec = pixel_shuffle_3d(rec, p)
+        if not self.blocked_head:
+            rec = pixel_shuffle_3d(rec, p)
         return rec, gram

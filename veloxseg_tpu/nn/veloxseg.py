@@ -29,6 +29,13 @@ from .encoder import Encoder
 
 class VeloxSeg(nn.Module):
     cfg: VeloxSegConfig
+    # Training-only layout optimization: emit the two pixel-shuffle heads
+    # (seg head 0, reconstructions) in patch-BLOCKED form (B, G³, p³·C) —
+    # CE/Dice/MSE are voxel-wise sums, so CompositeLoss(blocked_scale=p)
+    # computes identical values while the full-resolution narrow-channel
+    # shuffle transposes (fwd + bwd) disappear from the train step. Eval
+    # output and the deep-supervision heads are unchanged.
+    train_blocked_heads: bool = False
 
     def _scale_prediction(self, pred: jnp.ndarray) -> jnp.ndarray:
         return resize_trilinear(pred, self.cfg.input_size,
@@ -66,6 +73,7 @@ class VeloxSeg(nn.Module):
         )
         attn_feats, encs = encoder(x, deterministic)
 
+        blocked = bool(self.train_blocked_heads and train)
         decoder = SegDecoder(
             patch_size=cfg.patch_size,
             base_ch=cfg.base_ch,
@@ -76,6 +84,7 @@ class VeloxSeg(nn.Module):
             expansion_factor=cfg.conv_expansion_factor,
             dropout=cfg.conv_drop,
             deep_supervision=cfg.deep_supervision,
+            blocked_head=blocked,
             name="decoder",
         )
         preds, dec_gram = decoder(encs, deterministic)
@@ -83,7 +92,10 @@ class VeloxSeg(nn.Module):
         if not train:
             return preds[0]
 
-        preds = [self._scale_prediction(p) for p in preds]
+        # head 0 is already full-resolution (blocked or shuffled); only
+        # the coarse deep-supervision heads upsample
+        preds = [preds[0]] + [self._scale_prediction(p)
+                              for p in preds[1:]]
 
         rcs = []
         rc_grams = []
@@ -97,6 +109,7 @@ class VeloxSeg(nn.Module):
                 min_dim_group=cfg.min_dim_group,
                 expansion_factor=cfg.conv_expansion_factor,
                 dropout=cfg.conv_drop,
+                blocked_head=blocked,
                 name=f"rc_decoder_{m}",
             )
             # Teachers see both branches: concat(attn_m, fused enc) per level

@@ -39,3 +39,26 @@ def pixel_shuffle_2d(x: jnp.ndarray, scale: int) -> jnp.ndarray:
     x = x.reshape(b, h, w, c, s, s)
     x = x.transpose(0, 1, 4, 2, 5, 3)
     return x.reshape(b, h * s, w * s, c)
+
+
+def block_voxels(x: jnp.ndarray, scale: int) -> jnp.ndarray:
+    """Inverse of :func:`pixel_shuffle_3d` (space-to-depth).
+
+    (B, D·s, H·s, W·s, C) → (B, D, H, W, C·s³) with the channel axis
+    factoring (c, s³) — c slowest, matching the head-conv output layout —
+    or, for channel-less integer labels, (B, D·s, H·s, W·s) → (B, D, H,
+    W, s³). Used by the blocked-head training path: CE/Dice/MSE are
+    voxel-wise sums, so computing them in this layout is exact while the
+    full-resolution pixel-shuffle transposes (and their backwards)
+    disappear from the step; only the gradient-free labels/input move
+    through this transform.
+    """
+    s = scale
+    has_c = x.ndim == 5
+    if not has_c:
+        x = x[..., None]
+    b, ds, hs, ws, c = x.shape
+    d, h, w = ds // s, hs // s, ws // s
+    x = x.reshape(b, d, s, h, s, w, s, c)
+    x = x.transpose(0, 1, 3, 5, 7, 2, 4, 6)
+    return x.reshape(b, d, h, w, c * s ** 3)

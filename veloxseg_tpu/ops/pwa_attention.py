@@ -158,9 +158,11 @@ def _rowblock_size(l: int) -> int:
     VMEM-resident in the backward, plus ~6 live (Br, L) fp32 row buffers,
     all within scoped VMEM with headroom for the (small) token blocks."""
     sub, lane = _padded(l)
-    # 13 MB minus bias+dbias blocks minus ~2 MB of (padded) token-block
-    # double buffering; ~8 live fp32 row buffers at the peak.
-    budget = (13 << 20) - 2 * sub * lane * 4 - (2 << 20)
+    # 12 MB minus bias+dbias blocks minus ~2 MB of (padded) token-block
+    # double buffering; ~8 live fp32 row buffers at the peak. (13 MB left
+    # only 64 KB of slack at L=1024 and large batches tipped the compiler
+    # over the 16 MB scoped-vmem limit — chip-measured at bs64.)
+    budget = (12 << 20) - 2 * sub * lane * 4 - (2 << 20)
     for br in (512, 256, 128, 64, 32, 16, 8):
         if l % br == 0 and br < l and 8 * br * lane * 4 <= budget:
             return br

@@ -58,8 +58,8 @@ def dice_loss(logits: jnp.ndarray, labels: jnp.ndarray,
 
 def fused_ce_dice_loss(logits: jnp.ndarray, labels: jnp.ndarray,
                        include_background: bool = False,
-                       smooth_nr: float = 1e-5, smooth_dr: float = 1e-5
-                       ) -> jnp.ndarray:
+                       smooth_nr: float = 1e-5, smooth_dr: float = 1e-5,
+                       class_block: int = 1) -> jnp.ndarray:
     """CE + Dice sharing ONE softmax pipeline.
 
     Numerically identical to ``softmax_ce_loss(...) + dice_loss(...)``
@@ -68,14 +68,25 @@ def fused_ce_dice_loss(logits: jnp.ndarray, labels: jnp.ndarray,
     probabilities. The separate-functions form re-materializes softmax
     for every head at every scale — ~30 ms/step of the 128³/bs16 train
     step (device-trace measured).
+
+    ``class_block`` > 1 consumes patch-BLOCKED logits (channel axis =
+    (class, block) with class slowest, e.g. an un-shuffled head-conv
+    output) against equally blocked labels — per-class slices are then
+    contiguous and the math below is unchanged (CE/Dice are voxel-wise
+    sums, indifferent to voxel order).
     """
-    n_classes = logits.shape[-1]
+    blk = class_block
+    n_classes = logits.shape[-1] // blk
     # Unstack the class axis into per-class full-width tensors: a
     # (B, 128³, 2) fp32 tensor's 2-wide minor axis lane-pads on TPU and
     # every reduce over it runs ~10× under HBM speed (trace-measured
     # ~19 ms/step across the deep heads); per-class (B, 128³) tensors
     # tile cleanly and the whole pipeline fuses.
-    xs = [logits[..., c].astype(jnp.float32) for c in range(n_classes)]
+    if blk > 1:
+        xs = [logits[..., c * blk:(c + 1) * blk].astype(jnp.float32)
+              for c in range(n_classes)]
+    else:
+        xs = [logits[..., c].astype(jnp.float32) for c in range(n_classes)]
     m = xs[0]
     for xc in xs[1:]:
         m = jnp.maximum(m, xc)
@@ -108,25 +119,36 @@ class CompositeLoss:
     inputs are arrays.
     """
 
-    def __init__(self, model_name: str, config, num_modal: int = 2):
+    def __init__(self, model_name: str, config, num_modal: int = 2,
+                 blocked_scale: int = 0, blocked_in_ch=None):
         self.model_name = model_name
         self.num_modal = num_modal
         self.deep_loss_weight = [float(w) for w in
                                  config["deep_Loss_weight"]]
         self.rc_loss_weight = config.get("RC_Loss_weight")
         self.feature_loss_weight = config.get("Feature_Loss_weight")
+        # blocked-heads training (VeloxSeg(train_blocked_heads=True)):
+        # head 0 and the reconstructions arrive patch-blocked; labels and
+        # the reconstruction target are blocked here once (gradient-free)
+        self.blocked_scale = int(blocked_scale)
+        self.blocked_in_ch = list(blocked_in_ch or [])
 
-    def seg_loss(self, logits, labels):
-        return fused_ce_dice_loss(logits, labels)
+    def seg_loss(self, logits, labels, class_block: int = 1):
+        return fused_ce_dice_loss(logits, labels, class_block=class_block)
 
-    def deep_seg_loss(self, outputs: Sequence[jnp.ndarray], labels):
+    def deep_seg_loss(self, outputs: Sequence[jnp.ndarray], labels,
+                      blocked_labels=None):
         if not isinstance(outputs, (list, tuple)):
             outputs = [outputs]
         weights = normalized_deep_loss_weights(self.deep_loss_weight,
                                                len(outputs))
         loss = jnp.float32(0.0)
-        for w, out in zip(weights, outputs):
-            loss = loss + w * self.seg_loss(out, labels)
+        for i, (w, out) in enumerate(zip(weights, outputs)):
+            if i == 0 and blocked_labels is not None:
+                loss = loss + w * self.seg_loss(
+                    out, blocked_labels, class_block=self.blocked_scale ** 3)
+            else:
+                loss = loss + w * self.seg_loss(out, labels)
         return loss
 
     def metric_outputs(self, output) -> List[jnp.ndarray]:
@@ -149,7 +171,22 @@ class CompositeLoss:
         if name == "VeloxSeg":
             layout = veloxseg_output_layout(len(output), self.num_modal)
             s0, s1 = layout["seg"]
-            seg = self.deep_seg_loss(output[s0:s1], labels)
+            blocked_labels = None
+            if self.blocked_scale > 1:
+                from ..ops.pixel_shuffle import block_voxels
+                s = self.blocked_scale
+                blocked_labels = block_voxels(labels, s)
+                # reconstruction target blocked per modality so its
+                # channel order matches the concat of blocked RC heads
+                in_ch = self.blocked_in_ch or [1] * self.num_modal
+                parts, c0 = [], 0
+                for cm in in_ch:
+                    parts.append(block_voxels(
+                        sr_labels[..., c0:c0 + cm], s))
+                    c0 += cm
+                sr_labels = jnp.concatenate(parts, axis=-1)
+            seg = self.deep_seg_loss(output[s0:s1], labels,
+                                     blocked_labels=blocked_labels)
             rc = jnp.mean(jnp.square(
                 output[layout["reconstruction"]].astype(jnp.float32)
                 - sr_labels.astype(jnp.float32)))

@@ -53,13 +53,24 @@ def segmentation_metrics(gt: jnp.ndarray, pred: jnp.ndarray
     }
 
 
-def pred_from_logits(logits: jnp.ndarray) -> jnp.ndarray:
+def pred_from_logits(logits: jnp.ndarray,
+                     class_block: int = 1) -> jnp.ndarray:
     """Class prediction from channels-last logits.
 
     Binary fast path: argmax over a minor axis of 2 compiles to a
     pathological layout on TPU; a compare is one fused pass.
+    ``class_block`` > 1: patch-blocked logits (channel = (class, block),
+    class slowest) — returns the equally blocked prediction mask.
     """
-    if logits.shape[-1] == 2:
+    blk = class_block
+    n = logits.shape[-1] // blk
+    if blk > 1:
+        if n == 2:
+            return (logits[..., blk:]
+                    > logits[..., :blk]).astype(jnp.int32)
+        sh = logits.shape[:-1]
+        return jnp.argmax(logits.reshape(*sh, n, blk), axis=-2)
+    if n == 2:
         return (logits[..., 1] > logits[..., 0]).astype(jnp.int32)
     return jnp.argmax(logits, axis=-1)
 

@@ -70,11 +70,26 @@ def _loss_grads_fn(
 
 
 def _metrics_aux(heads, labels, with_metrics: bool,
-                 deep_metric_heads: bool) -> dict:
+                 deep_metric_heads: bool, blocked_scale: int = 0) -> dict:
     """Per-step metric aux dict (device values)."""
     aux = {}
     if with_metrics:
-        if deep_metric_heads:
+        if blocked_scale > 1:
+            # blocked head 0 (VeloxSeg(train_blocked_heads=True)): the
+            # binary metrics are voxel-wise sums — compute them on the
+            # blocked pred against equally blocked labels (exact)
+            from ..ops.pixel_shuffle import block_voxels
+            blk_labels = block_voxels(labels, blocked_scale)
+            aux.update(segmentation_metrics(
+                blk_labels,
+                pred_from_logits(heads[0],
+                                 class_block=blocked_scale ** 3)))
+            if deep_metric_heads:
+                per_head = [
+                    {k: v for k, v in aux.items()}
+                ] + deep_metrics(heads[1:], labels)
+                aux["deep"] = tuple(per_head)
+        elif deep_metric_heads:
             # compute head-0 metrics once; the deep tuple keeps head 0
             # (the reference's show_deep_metrics prints it with pix)
             per_head = deep_metrics(heads, labels)
@@ -100,8 +115,9 @@ def _train_step_body(
         loss, heads, grads = lg(state, inputs, labels, rng)
         state = state.apply_gradients(grads=grads)
         aux = {"loss": loss}
-        aux.update(_metrics_aux(heads, labels, with_metrics,
-                                deep_metric_heads))
+        aux.update(_metrics_aux(
+            heads, labels, with_metrics, deep_metric_heads,
+            blocked_scale=getattr(loss_obj, "blocked_scale", 0)))
         return state, aux
 
     return step
@@ -203,8 +219,9 @@ def train_accum_step_fn(
             x, y, k = xs
             loss, heads, grads = lg(state, x, y, jax.random.fold_in(rng, k))
             aux = {"loss": loss}
-            aux.update(_metrics_aux(heads, y, with_metrics,
-                                    deep_metric_heads))
+            aux.update(_metrics_aux(
+                heads, y, with_metrics, deep_metric_heads,
+                blocked_scale=getattr(loss_obj, "blocked_scale", 0)))
             gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
             return gsum, aux
 

@@ -236,8 +236,20 @@ def run_train(args, train_config: dict, model_config: dict) -> dict:
                          opt_cfg["optimizer_args"])
     state = create_train_state(model, variables["params"], tx)
     scheduler = EpochScheduler(train_config)
+    blocked_scale = 0
+    blocked_in_ch = None
+    from ..nn.veloxseg import VeloxSeg as _VS
+    if isinstance(model, _VS):
+        # blocked-heads training: identical loss/metrics, no full-res
+        # pixel-shuffle transposes in the step (nn/veloxseg.py)
+        model = model.clone(train_blocked_heads=True)
+        state = state.replace(apply_fn=model.apply)
+        blocked_scale = model.cfg.patch_size
+        blocked_in_ch = model.cfg.in_ch
     loss_obj = CompositeLoss(args.model_name, train_config,
-                             num_modal=num_modal)
+                             num_modal=num_modal,
+                             blocked_scale=blocked_scale,
+                             blocked_in_ch=blocked_in_ch)
 
     start_epoch = 0
     best_train_dice = 0.0
