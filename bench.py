@@ -174,7 +174,10 @@ def bench_train(batch=16, size=(128, 128, 128), channels=2,
     except Exception:
         pass
     rate = median_rate(dispatch, k * batch, windows=3, seconds=WINDOW_S)
-    mfu = _mfu(rate / (k * batch), flops / batch if flops else None)
+    # rate/(k·batch) = dispatches/s; ``flops`` is already per dispatch
+    # (k=1 step over the full batch) — round 4 divided it by batch again
+    # and under-reported train MFU 16×.
+    mfu = _mfu(rate / (k * batch), flops)
     _report(f"train fwd+bwd {size[0]}^3 bs{batch} k{k}", rate,
             "patches/s", mfu)
     return rate, mfu, flops
