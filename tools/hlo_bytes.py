@@ -1,0 +1,167 @@
+"""Static HBM-traffic audit of a compiled program (VERDICT r5 #1 aid).
+
+Parses the optimized HLO of the flagship train step (or eval forward) and
+attributes output-buffer bytes to top-level instructions, grouped by op
+kind and (where present) source metadata. Writes ≈ sum of top-level
+instruction output sizes; reads ≈ operand sizes — together a first-order
+model of HBM traffic for a bandwidth-bound program.
+
+Usage:
+  python tools/hlo_bytes.py [--size 128] [--batch 16] [--mode train|eval]
+                            [--top 40] [--platform cpu|tpu]
+
+--platform cpu compiles for the host CPU backend (different fusion
+decisions than TPU — use tpu when a chip is attached for faithful
+attribution; cpu for a rough cut without chip time).
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import re
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+DTYPE_BYTES = {
+    "f32": 4, "f16": 2, "bf16": 2, "f64": 8, "s32": 4, "u32": 4,
+    "s8": 1, "u8": 1, "pred": 1, "s16": 2, "u16": 2, "s64": 8, "u64": 8,
+}
+
+SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
+
+
+def shape_bytes(shape_str: str) -> int:
+    """Total bytes of an HLO shape string (handles tuples)."""
+    total = 0
+    for dtype, dims in SHAPE_RE.findall(shape_str):
+        if dtype not in DTYPE_BYTES:
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * DTYPE_BYTES[dtype]
+    return total
+
+
+INSTR_RE = re.compile(
+    r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*((?:\([^)]*\)|[\w\[\],{}]+))\s+"
+    r"([\w\-]+)\(")
+META_RE = re.compile(r'metadata=\{[^}]*op_name="([^"]+)"')
+
+
+def analyze(hlo_text: str, top: int):
+    by_kind = collections.Counter()
+    by_meta = collections.Counter()
+    rows = []
+    in_entry = False
+    for line in hlo_text.splitlines():
+        if line.startswith("ENTRY "):
+            in_entry = True
+            continue
+        if in_entry and line.startswith("}"):
+            in_entry = False
+        if not in_entry:
+            continue
+        m = INSTR_RE.match(line)
+        if not m:
+            continue
+        name, shape_str, kind = m.groups()
+        if kind in ("parameter", "constant", "tuple", "get-tuple-element",
+                    "bitcast"):
+            continue
+        b = shape_bytes(shape_str)
+        if not b:
+            continue
+        by_kind[kind] += b
+        mm = META_RE.search(line)
+        meta = mm.group(1) if mm else ""
+        # collapse jit wrapper prefixes; keep the leading module path
+        meta_key = "/".join(meta.split("/")[:4]) if meta else f"<{kind}>"
+        by_meta[meta_key] += b
+        rows.append((b, kind, name, meta))
+
+    total = sum(by_kind.values())
+    print(f"\ntotal top-level output bytes: {total / 1e9:.2f} GB")
+    print("\n-- by op kind --")
+    for kind, b in by_kind.most_common():
+        print(f"{kind:28s} {b / 1e9:9.3f} GB  ({100 * b / total:5.1f}%)")
+    print(f"\n-- by op_name prefix (top {top}) --")
+    for meta, b in by_meta.most_common(top):
+        print(f"{b / 1e9:9.3f} GB  {meta}")
+    print(f"\n-- largest single instructions (top {top}) --")
+    rows.sort(reverse=True)
+    for b, kind, name, meta in rows[:top]:
+        print(f"{b / 1e9:9.3f} GB  {kind:22s} {meta[:90]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--mode", default="train", choices=["train", "eval"])
+    ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--platform", default="", choices=["", "cpu", "tpu"])
+    args = ap.parse_args()
+
+    if args.platform:
+        import os
+        os.environ.setdefault("JAX_PLATFORMS", args.platform)
+
+    import jax
+    import jax.numpy as jnp
+
+    from veloxseg_tpu.core.config import VeloxSegConfig
+    from veloxseg_tpu.nn.veloxseg import VeloxSeg
+
+    S, B = args.size, args.batch
+    cfg = VeloxSegConfig().replace(depths=(1, 1, 1, 1), input_size=(S,) * 3)
+    if S % 3 != 0:
+        cfg = cfg.replace(min_big_window_sizes=(
+            (4, 4, 4), (8, 8, 8), (4, 4, 4), (4, 4, 4)))
+    key = jax.random.PRNGKey(0)
+    bf = jnp.bfloat16
+    x = jnp.zeros((B, S, S, S, 2), bf)
+
+    model = VeloxSeg(cfg, train_blocked_heads=True)
+    variables = jax.jit(model.init, static_argnames="train")(
+        {"params": key, "dropout": key}, x[:1], train=True)
+    params = jax.tree_util.tree_map(
+        lambda a: a.astype(bf) if jnp.issubdtype(a.dtype, jnp.floating)
+        else a, variables["params"])
+
+    if args.mode == "eval":
+        def fn(p, xx):
+            return model.apply({"params": p}, xx, train=False)
+        lowered = jax.jit(fn).lower(params, x)
+    else:
+        rng = np.random.default_rng(0)
+        y = jnp.asarray(rng.standard_normal((B, S, S, S)) > 1.2, jnp.int32)
+        from veloxseg_tpu.train.loss import CompositeLoss
+        from veloxseg_tpu.train.optim import build_optimizer
+        from veloxseg_tpu.train.train_state import (_train_step_body,
+                                                    create_train_state)
+        tcfg = {"deep_Loss_weight": [1, 1, 1, 1], "RC_Loss_weight": 0.5,
+                "Feature_Loss_weight": 2.0}
+        loss_obj = CompositeLoss("VeloxSeg", tcfg, num_modal=2,
+                                 blocked_scale=cfg.patch_size,
+                                 blocked_in_ch=cfg.in_ch)
+        tx = build_optimizer("adamw", {"lr": 2.5e-4, "weight_decay": 0.01})
+        state = create_train_state(model, variables["params"], tx)
+        body = _train_step_body(loss_obj, compute_dtype=bf)
+        lowered = jax.jit(body).lower(state, x, y, key)
+
+    compiled = lowered.compile()
+    ca = compiled.cost_analysis()
+    if ca:
+        print(f"cost_analysis: {ca.get('flops', 0) / 1e9:.1f} GF, "
+              f"{ca.get('bytes accessed', 0) / 1e9:.2f} GB accessed")
+    analyze(compiled.as_text(), args.top)
+
+
+if __name__ == "__main__":
+    main()
