@@ -48,9 +48,12 @@ def shape_bytes(shape_str: str) -> int:
     return total
 
 
+# Shape strings carry layout suffixes (``f32[256,256]{1,0:T(8,128)S(1)}``)
+# and tuples contain spaces; match the shape non-greedily up to the first
+# whitespace-preceded identifier directly followed by "(" (the op kind —
+# identifiers inside layouts like ``T(8,128)`` are never space-preceded).
 INSTR_RE = re.compile(
-    r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*((?:\([^)]*\)|[\w\[\],{}]+))\s+"
-    r"([\w\-]+)\(")
+    r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(.+?)\s+([\w\-]+)\(")
 META_RE = re.compile(r'metadata=\{[^}]*op_name="([^"]+)"')
 
 
