@@ -57,10 +57,24 @@ INSTR_RE = re.compile(
 META_RE = re.compile(r'metadata=\{[^}]*op_name="([^"]+)"')
 
 
-def analyze(hlo_text: str, top: int):
+OPERANDS_RE = re.compile(r"%([\w.\-]+)")
+
+
+def analyze(hlo_text: str, top: int, depth: int = 4):
+    """Read+write HBM-traffic attribution of the entry computation.
+
+    writes = each instruction's output bytes; reads = its operands'
+    output bytes (looked up from their defining instructions). Fusion
+    internals are invisible (correct: they live in registers/VMEM);
+    fusion operands/outputs are the HBM boundary. Double-counts a
+    buffer read by k consumers k times — which is what HBM sees.
+    """
     by_kind = collections.Counter()
     by_meta = collections.Counter()
     rows = []
+    # pass 1: output size of every entry instruction (incl. params/consts)
+    out_bytes = {}
+    entry_lines = []
     in_entry = False
     for line in hlo_text.splitlines():
         if line.startswith("ENTRY "):
@@ -74,32 +88,76 @@ def analyze(hlo_text: str, top: int):
         if not m:
             continue
         name, shape_str, kind = m.groups()
+        out_bytes[name] = shape_bytes(shape_str)
+        entry_lines.append((line, name, shape_str, kind))
+
+    # S(1) = scoped memory (VMEM). async slice-starts / copy-starts with
+    # an S(1) destination are HBM→VMEM operand prefetches: they read only
+    # the transferred chunk from HBM and their consumers then read VMEM
+    # (free). Results living in VMEM:
+    in_vmem = set()
+
+    def _tuple_shapes(s):
+        """payload shapes of an async/copy tuple, layout-annotated."""
+        return re.findall(r"(\w+\[[\d,]*\]\{[^}]*\})", s)
+
+    for line, name, shape_str, kind in entry_lines:
         if kind in ("parameter", "constant", "tuple", "get-tuple-element",
                     "bitcast"):
             continue
-        b = shape_bytes(shape_str)
+        w = shape_bytes(shape_str)
+        # operand list: text between the op-kind '(' and its matching ')'
+        paren = line.find(kind + "(")
+        args = line[paren + len(kind) + 1: line.find(")", paren)]
+        ops = OPERANDS_RE.findall(args)
+        if kind in ("async-start", "copy-start"):
+            shapes = [s for s in _tuple_shapes(shape_str)
+                      if not s.startswith(("s32", "u32", "pred"))]
+            if kind == "async-start":
+                # ((operand), chunk, s32): payload order = operand, chunk
+                dest = shapes[-1] if shapes else shape_str
+                src_b = shape_bytes(dest)      # slices read what they emit
+            else:
+                # (dest, src, u32)
+                dest = shapes[0] if shapes else shape_str
+                src_b = shape_bytes(shapes[1]) if len(shapes) > 1 else 0
+            dest_vmem = "S(1)" in dest
+            w = 0 if dest_vmem else shape_bytes(dest)
+            r = src_b
+            if dest_vmem:
+                in_vmem.add(name)
+        elif kind in ("async-done", "copy-done"):
+            r = 0
+            w = 0  # the transfer was already counted at the start op
+            if "S(1)" in shape_str or any(o in in_vmem for o in ops):
+                in_vmem.add(name)
+        else:
+            r = sum(0 if o in in_vmem else out_bytes.get(o, 0)
+                    for o in ops)
+        b = w + r
         if not b:
             continue
         by_kind[kind] += b
         mm = META_RE.search(line)
         meta = mm.group(1) if mm else ""
-        # collapse jit wrapper prefixes; keep the leading module path
-        meta_key = "/".join(meta.split("/")[:4]) if meta else f"<{kind}>"
+        meta_key = ("/".join(meta.split("/")[:depth]) if meta
+                    else f"<{kind}>")
         by_meta[meta_key] += b
-        rows.append((b, kind, name, meta))
+        rows.append((b, w, kind, name, meta))
 
     total = sum(by_kind.values())
-    print(f"\ntotal top-level output bytes: {total / 1e9:.2f} GB")
+    print(f"\ntotal HBM traffic (reads+writes): {total / 1e9:.2f} GB")
     print("\n-- by op kind --")
-    for kind, b in by_kind.most_common():
+    for kind, b in by_kind.most_common(15):
         print(f"{kind:28s} {b / 1e9:9.3f} GB  ({100 * b / total:5.1f}%)")
     print(f"\n-- by op_name prefix (top {top}) --")
     for meta, b in by_meta.most_common(top):
         print(f"{b / 1e9:9.3f} GB  {meta}")
     print(f"\n-- largest single instructions (top {top}) --")
     rows.sort(reverse=True)
-    for b, kind, name, meta in rows[:top]:
-        print(f"{b / 1e9:9.3f} GB  {kind:22s} {meta[:90]}")
+    for b, w, kind, name, meta in rows[:top]:
+        print(f"{b / 1e9:9.3f} GB (w {w / 1e9:6.3f})  {kind:18s} "
+              f"{meta[:80]}")
 
 
 def main():
