@@ -20,7 +20,7 @@ from typing import Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops import packed_conv
+from ..ops import fused_jlc, packed_conv
 from ..ops.pixel_shuffle import pixel_shuffle_3d
 from .basic import DenseParams, GroupedConv3d, get_act, he_normal
 from .norms import InstanceNorm
@@ -214,10 +214,35 @@ class JLC(nn.Module):
                 name=f"GroupedConv3d_{i}")(c)
             weights.append((k, kern.astype(x.dtype)))
             biases.append(bias)
-        wp = packed_conv.packed_kernel(weights, c, self.groups)
-
         xp = x if packed_io else packed_conv.pack_s2d(x)
-        y = packed_conv.conv_packed(xp, wp)     # (…, nb·8·c) branch-major
+        grouped = packed_conv.grouped_preferred(xp.shape, c, self.groups)
+
+        # Fused Pallas execution of the whole block (L0/L1 flagship
+        # shapes): conv+IN+GELU+residual and IN+MLP+residual each run as
+        # one kernel with VMEM-resident intermediates (ops/fused_jlc.py).
+        if (multi and not grouped and self.activation == "gelu"
+                and (deterministic or self.dropout == 0.0)):
+            use_fused, interp = fused_jlc.usable(
+                xp.shape, c, nb, self.expansion_factor)
+            if use_fused:
+                k1, b1 = _DenseParams(c * self.expansion_factor,
+                                      in_features=c, name="Dense_0")()
+                k2, b2 = _DenseParams(c, in_features=c
+                                      * self.expansion_factor,
+                                      name="Dense_1")()
+                out = fused_jlc.jlc_block(xp, weights, self.groups,
+                                          k1, b1, k2, b2,
+                                          interpret=interp)
+                return out if packed_io else packed_conv.unpack_s2d(out, c)
+
+        if grouped:
+            # deep levels: group-batched matmul — no G× zero-block dense
+            # kernel (42/170 MB at L2/L3) and G× fewer FLOPs
+            wg = packed_conv.packed_group_weights(weights, c, self.groups)
+            y = packed_conv.conv_packed_grouped(xp, wg, c, self.groups)
+        else:
+            wp = packed_conv.packed_kernel(weights, c, self.groups)
+            y = packed_conv.conv_packed(xp, wp)  # (…, nb·8·c) branch-major
         y = y + packed_conv.branch_bias(biases, 1).astype(y.dtype)
         if multi:
             # per-branch IN (per logical channel over spatial+parity) + act

@@ -16,15 +16,22 @@ gathered at trace time from the *unchanged* grouped parameters (zeros
 everywhere the kernel-size structure demands). Same math, same parameter
 pytree, same checkpoints.
 
-Stream channel layout — GROUP-major: packed channel
-``(g·8 + ((rd·2+rh)·2+rw))·cg + c`` for logical channel ``g·cg + c`` and
-spatial parity ``r``. The packed conv then runs with
-``feature_group_count = G`` (per-group width 8·cg = 32–128), which keeps
-the logical group structure — chip A/B at the four flagship stage shapes
-(fwd+bwd, fenced): group-preserving beats group-densified 1.0×/2.0×/
-2.3×/3.1× (the densified kernel wastes G× FLOPs on zero blocks), and both
-beat XLA's logical grouped conv 12–48×. ``groups=1`` degenerates to the
-parity-major layout. All helpers below take the stream's ``groups``.
+Stream channel layout — the flagship path runs PARITY-major (``groups=1``
+in every helper): packed channel ``r·C + c`` for spatial parity
+``r = (rd·2+rh)·2+rw`` and logical channel ``c``. Two execution forms for
+the merged conv:
+
+- ``conv_packed`` with a group-DENSIFIED ``packed_kernel`` — one dense
+  MXU conv, G× zero-block FLOPs. Chip A/B showed it beats XLA's
+  ``feature_group_count`` emitter (113 per-group convs) at every stage,
+  and beats the logical grouped conv 12–48×. Right where the dense
+  kernel is small (L0/L1: ≤ 10.6 MB).
+- ``conv_packed_grouped`` — group-major im2col + ONE batched
+  ``dot_general`` with the group axis as batch: no zero blocks (G× fewer
+  FLOPs) and per-group weights (8·cg ≤ 128 wide), at the price of a
+  27×-stream im2col. Right where the stream is small but the dense
+  kernel would be huge (L2: 42 MB → 5.3 MB, L3: 170 MB → 21 MB — the
+  dense variants dominated HLO byte attribution of the r4 train step).
 
 Derivation: output voxel p = 2q + r_out needs input taps
 x[p + o - k//2] = x[2(q + t) + r_in] with, per spatial dim,
@@ -155,6 +162,89 @@ def conv_packed(xp: jnp.ndarray, wp: jnp.ndarray) -> jnp.ndarray:
     return lax.conv_general_dilated(
         xp, wp.astype(xp.dtype), (1, 1, 1), [(1, 1)] * 3,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+
+def packed_group_weights(weights: Sequence[Tuple[int, jnp.ndarray]],
+                         in_ch: int, groups: int) -> jnp.ndarray:
+    """Merge grouped-conv branch weights into PER-GROUP packed matmul
+    weights ``(G, 27·8·cg, n_b·8·cgo)`` for :func:`conv_packed_grouped`.
+
+    Same tap/parity scatter as :func:`packed_kernel` but without the
+    group densification: no G× zero blocks, G² × smaller than the dense
+    kernel. Row (K) factor order is ``(tap, r_in, c)``; column factor
+    order ``(branch, r_out, c_out)`` — matching the im2col and output
+    layouts of :func:`conv_packed_grouped`.
+    """
+    kmax = max(k for k, _ in weights)
+    nb = len(weights)
+    cout = weights[0][1].shape[-1]
+    cg = in_ch // groups
+    cgo = cout // groups
+    padded = []
+    for k, w in weights:
+        p = (kmax - k) // 2
+        # (k,k,k, cg, C) → (k,k,k, cg, G, cgo): out channel (g, c'),
+        # in channels are group g's cg params.
+        wg = w.reshape(k, k, k, cg, groups, cgo)
+        padded.append(jnp.pad(wg, [(p, p)] * 3 + [(0, 0)] * 3))
+    wd = jnp.stack(padded, axis=-2)        # (K,K,K, cg, G, nb, cgo)
+    scatter = jnp.asarray(_scatter_matrix(kmax), dtype=wd.dtype)
+    flat = wd.reshape(kmax ** 3, cg * groups * nb * cgo)
+    g = (scatter.T @ flat).reshape(27, 8, 8, cg, groups, nb, cgo)
+    # (tap, rin, rout, cg, G, nb, cgo) → (G, tap, rin, cg, nb, rout, cgo)
+    g = g.transpose(4, 0, 1, 3, 5, 2, 6)
+    return g.reshape(groups, 27 * 8 * cg, nb * 8 * cgo)
+
+
+_TAPS3 = [(a, b, c) for a in range(3) for b in range(3) for c in range(3)]
+
+
+def conv_packed_grouped(xp: jnp.ndarray, wg: jnp.ndarray, channels: int,
+                        groups: int) -> jnp.ndarray:
+    """Grouped SAME conv of a parity-major packed stream without group
+    densification: group-major 27-tap im2col + one group-batched
+    ``dot_general`` (K = 27·8·cg ≤ 3456, fully MXU-shaped).
+
+    ``xp`` (B, S,S,S, 8·C) parity-major; ``wg`` from
+    :func:`packed_group_weights`. Output (B, S,S,S, n_b·8·C) in the same
+    branch-major / parity-major layout as :func:`conv_packed` with the
+    densified kernel — bit-compatible consumers.
+
+    The im2col materializes 27× the stream — use only where the stream
+    is small (see :func:`grouped_preferred`); there it replaces a dense
+    kernel G²× its size whose HBM reads dominated the step.
+    """
+    b, s0, s1, s2, k8c = xp.shape
+    cg = channels // groups
+    n = s0 * s1 * s2
+    nbo = wg.shape[-1]          # nb·8·cgo
+    xpad = jnp.pad(xp, [(0, 0), (1, 1), (1, 1), (1, 1), (0, 0)])
+    parts = [xpad[:, a:a + s0, bb:bb + s1, c:c + s2, :]
+             for a, bb, c in _TAPS3]
+    xs = jnp.stack(parts, axis=-2)              # (B,S,S,S, 27, 8C)
+    xs = xs.reshape(b, n, 27, 8, groups, cg)
+    xs = xs.transpose(4, 0, 1, 2, 3, 5).reshape(groups, b * n,
+                                                27 * 8 * cg)
+    y = lax.dot_general(xs, wg.astype(xs.dtype),
+                        (((2,), (1,)), ((0,), (0,))))  # (G, B·N, nb·8·cgo)
+    nb = nbo // (8 * (channels // groups))
+    y = y.reshape(groups, b, n, nb, 8, channels // groups)
+    y = y.transpose(1, 2, 3, 4, 0, 5)           # (B, N, nb, rout, G, cgo)
+    return y.reshape(b, s0, s1, s2, nb * 8 * channels)
+
+
+def grouped_preferred(shape, channels: int, groups: int,
+                      im2col_budget: int = 64 << 20) -> bool:
+    """Choose :func:`conv_packed_grouped` over the dense kernel: only a
+    win when groups exist, the dense kernel is big (≥ ~4 MB: L2/L3) and
+    the 27× im2col stays small."""
+    if groups <= 1:
+        return False
+    b = shape[0]
+    n = int(np.prod(shape[1:4]))
+    dense_bytes = 27 * (8 * channels) * (3 * 8 * channels) * 2
+    im2col_bytes = b * n * 27 * 8 * channels * 2
+    return dense_bytes >= (4 << 20) and im2col_bytes <= im2col_budget
 
 
 def packable(spatial: Sequence[int]) -> bool:
