@@ -80,14 +80,16 @@ def _metrics_aux(heads, labels, with_metrics: bool,
             # blocked pred against equally blocked labels (exact)
             from ..ops.pixel_shuffle import block_voxels
             blk_labels = block_voxels(labels, blocked_scale)
-            aux.update(segmentation_metrics(
-                blk_labels,
-                pred_from_logits(heads[0],
-                                 class_block=blocked_scale ** 3)))
+            pred = pred_from_logits(heads[0],
+                                    class_block=blocked_scale ** 3)
+            aux.update(segmentation_metrics(blk_labels, pred))
             if deep_metric_heads:
-                per_head = [
-                    {k: v for k, v in aux.items()}
-                ] + deep_metrics(heads[1:], labels)
+                # head 0's entry needs the pix counts the trainer log
+                # prints (blocked pred sums == unblocked pred sums)
+                head0 = dict(aux)
+                head0["pred_pix"] = jnp.sum(pred.astype(jnp.int32))
+                head0["label_pix"] = jnp.sum(labels.astype(jnp.int32))
+                per_head = [head0] + deep_metrics(heads[1:], labels)
                 aux["deep"] = tuple(per_head)
         elif deep_metric_heads:
             # compute head-0 metrics once; the deep tuple keeps head 0
