@@ -124,18 +124,41 @@ class UpConv(nn.Module):
 
     features: int
     up_rate: int = 2
+    packed_in: bool = False
     packed_out: bool = False
     out_groups: int = 1   # group-major layout of the emitted packed stream
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         r = self.up_rate
+        in_feat = x.shape[-1] // 8 if self.packed_in else x.shape[-1]
         # Kernel (C_in, C·r³) like a Dense, bias (C,) TIED per logical
         # channel exactly like the reference ConvTranspose bias (an
         # untied (C·8,) bias would drift from the reference under
         # training — each copy would get its own AdamW update).
-        kern, bias = _UpConvParams(self.features, x.shape[-1], r ** 3,
+        kern, bias = _UpConvParams(self.features, in_feat, r ** 3,
                                    name="Dense_0")()
+        if self.packed_in and packed_conv.enabled() and r == 2:
+            # packed → packed ×2 upsample: the input's packed grid IS the
+            # output's packed grid density halfway — each input voxel
+            # (q, r) produces the 8 parity slots of output packed block
+            # u = 2q + r, so the whole op is a per-parity Dense (with the
+            # pixel-shuffle column permutation) followed by one
+            # block-granular transpose (minor dim stays 8·C — no lane
+            # padding anywhere).
+            from . import pwa_packed
+            g = self.out_groups
+            kern2 = kern.reshape(in_feat, g, self.features // g, 8)
+            kern2 = kern2.transpose(0, 1, 3, 2).reshape(
+                in_feat, 8 * self.features)
+            big = pwa_packed.dense_parity(kern2)
+            y = x @ big.astype(x.dtype)
+            y = packed_conv.unpack_s2d(y, 8 * self.features)
+            y = y + packed_conv.tile_bias(bias, g).astype(y.dtype)
+            y = packed_conv.instance_norm_packed(y, self.features, g)
+            if self.packed_out:
+                return y
+            return packed_conv.unpack_s2d(y, self.features, g)
         if self.packed_out and packed_conv.enabled() and r == 2:
             # ×2 upsample of grid S produces a stream whose PACKED grid is
             # S itself — so with the Dense columns permuted from the

@@ -33,6 +33,7 @@ import numpy as np
 
 from ..core.windows import WindowLayout, compute_window_layout
 from ..ops import pwa_attention
+from . import pwa_packed
 from ..ops.pwa_attention import (train_fused_enabled, window_attention,
                                  window_attention_train)
 from ..ops.resize import interp_matrix
@@ -236,6 +237,10 @@ class MultiModalPWA(nn.Module):
     qkv_bias: bool = True
     attn_drop: float = 0.1
     proj_drop: float = 0.1
+    # xs are 2x2x2-packed parity-major streams (B, D/2, H/2, W/2, 8C);
+    # voxel-side ops run in the packed layout (see nn/pwa_packed.py),
+    # token tensors and parameters are identical to the unpacked path.
+    packed: bool = False
 
     @property
     def layout(self) -> WindowLayout:
@@ -268,7 +273,7 @@ class MultiModalPWA(nn.Module):
         dqk, dv = layout.dim_qk, layout.dim_v
         cj = 2 * dqk + dv
         wjs, bjs, scales, shifts = [], [], [], []
-        cin = xs[0].shape[-1]
+        cin = xs[0].shape[-1] // 8 if self.packed else xs[0].shape[-1]
         for m in range(m_count):
             s, t = _LNParams(cin, name=f"norm_{m}")()
             scales.append(s)
@@ -290,16 +295,32 @@ class MultiModalPWA(nn.Module):
                      bk.reshape(pairs, heads, dqk),
                      bv.reshape(pairs, heads, dv)], axis=-1).reshape(-1))
 
-        x = jnp.stack(xs, axis=0)                    # (M, B, D, H, W, C)
-        h = _layer_norm(x, jnp.stack(scales), jnp.stack(shifts))
-        y = jnp.einsum("m...c,mcj->m...j", h,
-                       jnp.stack(wjs).astype(h.dtype))
+        x = jnp.stack(xs, axis=0)             # (M, B, D, H, W, C) voxels
+        bshape = (m_count, 1, 1, 1, 1, -1)    # or (..., D/2, ..., 8C) packed
+        if self.packed:
+            h = pwa_packed.seg_layer_norm(x, 8)
+            sc = pwa_packed.tile8(jnp.stack(scales)).reshape(bshape)
+            sh = pwa_packed.tile8(jnp.stack(shifts)).reshape(bshape)
+            h = h * sc.astype(h.dtype) + sh.astype(h.dtype)
+            wq = jnp.stack([pwa_packed.qkv_parity(w, pairs) for w in wjs])
+        else:
+            h = _layer_norm(x, jnp.stack(scales), jnp.stack(shifts))
+            wq = jnp.stack(wjs)
+        y = jnp.einsum("m...c,mcj->m...j", h, wq.astype(h.dtype))
         if self.qkv_bias:
-            bj = jnp.stack(bjs).reshape(m_count, 1, 1, 1, 1, -1)
+            if self.packed:
+                bj = jnp.stack([pwa_packed.qkv_bias_tile(bb, pairs)
+                                for bb in bjs]).reshape(bshape)
+            else:
+                bj = jnp.stack(bjs).reshape(bshape)
             y = y + bj.astype(y.dtype)
         b = y.shape[1]
-        tok = window_gather(y.reshape(m_count * b, *y.shape[2:]),
-                            layout, cj)              # (M·B, h, N, cj, l)
+        if self.packed:
+            tok = pwa_packed.window_gather_packed(
+                y.reshape(m_count * b, *y.shape[2:]), layout, cj)
+        else:
+            tok = window_gather(y.reshape(m_count * b, *y.shape[2:]),
+                                layout, cj)          # (M·B, h, N, cj, l)
         mb, hh, n, _, l = tok.shape
         # (M, B, h, N, c, l) → (B, h, N, c, M·l): per-window token axis is
         # the modality concatenation (reference ``PWA.py:338-370``)
@@ -389,18 +410,27 @@ class MultiModalPWA(nn.Module):
         am = attn.reshape(b, hh, n, layout.dim_v, m_count, l)
         am = am.transpose(4, 0, 1, 2, 3, 5).reshape(
             m_count * b, hh, n, layout.dim_v, l)
-        am = window_scatter(am, layout, layout.dim_v, spatial)
-        am = am.reshape(m_count, b, *am.shape[1:])
+        cmix = pairs * heads * layout.dim_v
         mix_w, mix_b = [], []
         for m in range(m_count):
-            w, bb = DenseParams(self.in_channels[m], am.shape[-1],
+            w, bb = DenseParams(self.in_channels[m], cmix,
                                 name=f"mix_{m}")()
             mix_w.append(w)
             mix_b.append(bb)
-        am = jnp.einsum("m...c,mce->m...e", am,
-                        jnp.stack(mix_w).astype(am.dtype))
-        am = am + jnp.stack(mix_b).reshape(
-            m_count, 1, 1, 1, 1, -1).astype(am.dtype)
+        if self.packed:
+            am = pwa_packed.window_scatter_packed(
+                am, layout, layout.dim_v,
+                tuple(2 * s for s in spatial))
+            wm = jnp.stack([pwa_packed.mix_parity(w, pairs)
+                            for w in mix_w])
+            bm = jnp.stack([pwa_packed.tile8(bb) for bb in mix_b])
+        else:
+            am = window_scatter(am, layout, layout.dim_v, spatial)
+            wm = jnp.stack(mix_w)
+            bm = jnp.stack(mix_b)
+        am = am.reshape(m_count, b, *am.shape[1:])
+        am = jnp.einsum("m...c,mce->m...e", am, wm.astype(am.dtype))
+        am = am + bm.reshape(bshape).astype(am.dtype)
         am = nn.Dropout(self.proj_drop)(am, deterministic=deterministic)
         return [xs[m] + am[m] for m in range(m_count)]
 
@@ -426,6 +456,7 @@ class PWABlock(nn.Module):
     ffn_expansion_ratio: int = 4
     act_layer: str = "GELU"
     qkv_bias: bool = True
+    packed: bool = False
 
     @nn.compact
     def __call__(self, xs: Sequence[jnp.ndarray],
@@ -442,13 +473,14 @@ class PWABlock(nn.Module):
             qkv_bias=self.qkv_bias,
             attn_drop=self.attn_drop,
             proj_drop=self.proj_drop,
+            packed=self.packed,
             name="attn",
         )(xs, deterministic)
         dp = DropPath(self.drop_path)
         ys = [xs[m] + dp(attns[m], deterministic) for m in range(m_count)]
         # modality-stacked LN + FFN (one batched einsum per matmul instead
         # of M narrow ones; params stay per-modality — see MultiModalPWA)
-        c = ys[0].shape[-1]
+        c = self.in_channels[0]
         hidden = c * self.ffn_expansion_ratio
         scales, shifts, w1s, b1s, w2s, b2s = [], [], [], [], [], []
         for m in range(m_count):
@@ -460,17 +492,30 @@ class PWABlock(nn.Module):
             b1s.append(b1)
             w2s.append(w2)
             b2s.append(b2)
-        z = _layer_norm(jnp.stack(ys), jnp.stack(scales), jnp.stack(shifts))
+        zs = jnp.stack(ys)
+        mshape = (m_count,) + (1,) * (zs.ndim - 2) + (-1,)
+        if self.packed:
+            z = pwa_packed.seg_layer_norm(zs, 8)
+            sc = pwa_packed.tile8(jnp.stack(scales)).reshape(mshape)
+            sh = pwa_packed.tile8(jnp.stack(shifts)).reshape(mshape)
+            z = z * sc.astype(z.dtype) + sh.astype(z.dtype)
+            w1q = jnp.stack([pwa_packed.dense_parity(w) for w in w1s])
+            w2q = jnp.stack([pwa_packed.dense_parity(w) for w in w2s])
+            b1q = pwa_packed.tile8(jnp.stack(b1s)).reshape(mshape)
+            b2q = pwa_packed.tile8(jnp.stack(b2s)).reshape(mshape)
+        else:
+            z = _layer_norm(zs, jnp.stack(scales), jnp.stack(shifts))
+            w1q = jnp.stack(w1s)
+            w2q = jnp.stack(w2s)
+            b1q = jnp.stack(b1s).reshape(mshape)
+            b2q = jnp.stack(b2s).reshape(mshape)
         act = get_act(self.act_layer)
-        mshape = (m_count,) + (1,) * (z.ndim - 2) + (-1,)
-        z = jnp.einsum("m...c,mce->m...e", z,
-                       jnp.stack(w1s).astype(z.dtype))
-        z = act(z + jnp.stack(b1s).reshape(mshape).astype(z.dtype))
+        z = jnp.einsum("m...c,mce->m...e", z, w1q.astype(z.dtype))
+        z = act(z + b1q.astype(z.dtype))
         drop = nn.Dropout(self.proj_drop)
         z = drop(z, deterministic=deterministic)
-        z = jnp.einsum("m...c,mce->m...e", z,
-                       jnp.stack(w2s).astype(z.dtype))
-        z = z + jnp.stack(b2s).reshape(mshape).astype(z.dtype)
+        z = jnp.einsum("m...c,mce->m...e", z, w2q.astype(z.dtype))
+        z = z + b2q.astype(z.dtype)
         z = drop(z, deterministic=deterministic)
         return [ys[m] + dp(z[m], deterministic) for m in range(m_count)]
 
@@ -496,6 +541,8 @@ class TransformerStage(nn.Module):
     act_layer: str = "GELU"
     qkv_bias: bool = True
     do_downsample: bool = True
+    packed: bool = False        # this stage's streams are packed
+    down_packed: bool = False   # emit the downsampled stream packed
 
     @nn.compact
     def __call__(self, xs: Sequence[jnp.ndarray], deterministic: bool):
@@ -517,10 +564,13 @@ class TransformerStage(nn.Module):
                 ffn_expansion_ratio=self.ffn_expansion_ratio,
                 act_layer=self.act_layer,
                 qkv_bias=self.qkv_bias,
+                packed=self.packed,
                 name=f"block_{i}",
             )(xs, deterministic)
         down = None
         if self.do_downsample:
-            down = [PatchMerging(name=f"down_{m}")(xs[m])
+            down = [PatchMerging(packed_in=self.packed,
+                                 packed_out=self.down_packed,
+                                 name=f"down_{m}")(xs[m])
                     for m in range(len(self.in_channels))]
         return list(xs), down

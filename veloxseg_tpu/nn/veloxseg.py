@@ -22,6 +22,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..core.config import VeloxSegConfig
+from ..ops import packed_conv
 from ..ops.resize import resize_trilinear
 from .decoder import RCDecoder, SegDecoder
 from .encoder import Encoder
@@ -71,7 +72,8 @@ class VeloxSeg(nn.Module):
             conv_drop=cfg.conv_drop,
             name="encoder",
         )
-        attn_feats, encs = encoder(x, deterministic)
+        attn_feats, encs, attn_packed, enc_packed = encoder(
+            x, deterministic)
 
         blocked = bool(self.train_blocked_heads and train)
         decoder = SegDecoder(
@@ -87,7 +89,7 @@ class VeloxSeg(nn.Module):
             blocked_head=blocked,
             name="decoder",
         )
-        preds, dec_gram = decoder(encs, deterministic)
+        preds, dec_gram = decoder(encs, deterministic, packed=enc_packed)
 
         if not train:
             return preds[0]
@@ -113,10 +115,29 @@ class VeloxSeg(nn.Module):
                 name=f"rc_decoder_{m}",
             )
             # Teachers see both branches: concat(attn_m, fused enc) per level
-            # (``model/VeloxSeg.py:211-212``).
-            ins = [jnp.concatenate([attn_feats[lvl][m], encs[lvl]], axis=-1)
-                   for lvl in range(cfg.num_levels)]
-            rc, rc_gram = rc_dec(ins, deterministic)
+            # (``model/VeloxSeg.py:211-212``). Levels stay in the packed
+            # layout where the conv pyramid is packed; the attention
+            # feature joins in matching form (packed concat carries the
+            # per-source logical channel splits for the adapter Dense).
+            ins, rc_packed, rc_splits = [], [], []
+            for lvl in range(cfg.num_levels):
+                a, e = attn_feats[lvl][m], encs[lvl]
+                ca = cfg.attn_base_ch * 2 ** lvl
+                ce = cfg.base_ch * 2 ** lvl
+                if enc_packed[lvl]:
+                    if not attn_packed[lvl]:
+                        a = packed_conv.pack_s2d(a)
+                    ins.append(jnp.concatenate([a, e], axis=-1))
+                    rc_packed.append(True)
+                    rc_splits.append((ca, ce))
+                else:
+                    if attn_packed[lvl]:
+                        a = packed_conv.unpack_s2d(a, ca)
+                    ins.append(jnp.concatenate([a, e], axis=-1))
+                    rc_packed.append(False)
+                    rc_splits.append(None)
+            rc, rc_gram = rc_dec(ins, deterministic, packed=rc_packed,
+                                 splits=rc_splits)
             rcs.append(rc)
             rc_grams.append(rc_gram)
         recons = jnp.concatenate(rcs, axis=-1)

@@ -411,7 +411,12 @@ def usable(shape, channels: int, nb: int, expansion: int):
     from .pwa_attention import _target_platform
     on_tpu = _target_platform() == "tpu"
     if on_tpu:
-        return True, False
+        # DISABLED on real TPU: Mosaic cannot lower the exact-erf GELU
+        # (`lax.erf` → "Unimplemented primitive … erf", chip-verified
+        # round 5). Re-enable once the kernel carries a fp32 polynomial
+        # erf; the XLA packed path it falls back to is parity-tested and
+        # was never measurably slower (the step is HBM-bound).
+        return False, False
     if _FORCE_INTERPRET:
         return True, True
     return False, False
