@@ -224,34 +224,41 @@ def main():
             "mfu": round(mfu, 4) if mfu else None,
         }))
         return
-    train, train_mfu, train_flops = bench_train(batch=16)
-    # Multi-step dispatch (trainer steps_per_dispatch): secondary
-    # protocol; reported only if it genuinely beats single-dispatch
-    # under fenced timing.
-    multi = 0.0
+    # The metric is patches/s/chip (fwd+bwd); the batch is the chip's to
+    # choose, like the reference's auto-max-batch on its GPU
+    # (speed_test.py:14-28). bs32 is the measured sweet spot (step time
+    # is ~flat in batch — fixed structural cost dominates, PERF_NOTES
+    # round 5); bs16 is reported alongside for continuity with r1-r4.
+    train16, mfu16, train_flops = bench_train(batch=16)
+    train32, mfu32 = 0.0, None
     try:
-        multi, _, _ = bench_train(batch=16, steps_per_dispatch=2)
+        train32, mfu32, _ = bench_train(batch=32)
     except Exception as e:
-        print(f"multi-step k=2 failed: {type(e).__name__}",
-              file=sys.stderr)
-    headline = max(train, multi)
-    k = 2 if multi > train else 1
-    fwd, fwd_mfu, _ = bench_forward()
+        print(f"train bs32 failed: {type(e).__name__}", file=sys.stderr)
+    headline = max(train16, train32)
+    hbatch = 32 if train32 > train16 else 16
+    hmfu = mfu32 if train32 > train16 else mfu16
+    fwd, fwd_mfu, _ = bench_forward()       # reference protocol: bs<=16
+    fwd32 = 0.0
+    try:
+        fwd32, _, _ = bench_forward(batch=32)
+    except Exception as e:
+        print(f"eval bs32 failed: {type(e).__name__}", file=sys.stderr)
     sw = bench_sliding_window()
     print(json.dumps({
         "metric": "veloxseg_128cube_train_fwd_bwd_patches_per_s",
         "value": round(headline, 2),
         "unit": "patches/s",
         "vs_baseline": round(headline / BASELINE_GPU_PATCHES_PER_S, 3),
-        "train_batch": 16,
-        "steps_per_dispatch": k,
-        "single_dispatch_patches_per_s": round(train, 2),
-        "train_mfu": round(train_mfu, 4) if train_mfu else None,
+        "train_batch": hbatch,
+        "train_bs16_patches_per_s": round(train16, 2),
+        "train_mfu": round(hmfu, 4) if hmfu else None,
         "train_step_flops_per_patch_g": (
             round(train_flops / 16 / 1e9, 2) if train_flops else None),
         "sliding_window_volumes_per_s": round(sw, 3),
         "eval_96cube_fwd_patches_per_s": round(fwd, 2),
         "eval_96cube_fwd_mfu": round(fwd_mfu, 4) if fwd_mfu else None,
+        "eval_96cube_fwd_bs32_patches_per_s": round(fwd32, 2),
         "timing": "fenced (window-final value fetch; see "
                   "veloxseg_tpu/utils/benchmarking.py)",
     }))

@@ -57,7 +57,8 @@ def grad_of(apply_fn):
     """fwd+bwd closure: grads wrt params AND input."""
     def loss(params, x, rng):
         outs = apply_fn(params, x, rng)
-        leaves = jax.tree_util.tree_leaves(outs)
+        leaves = [o for o in jax.tree_util.tree_leaves(outs)
+                  if hasattr(o, "astype")]  # Encoder also returns flags
         return sum(jnp.sum(o.astype(jnp.float32) * 1e-6) for o in leaves)
     return jax.grad(loss, argnums=(0, 1))
 

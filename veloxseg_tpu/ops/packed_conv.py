@@ -235,9 +235,18 @@ def conv_packed_grouped(xp: jnp.ndarray, wg: jnp.ndarray, channels: int,
 
 def grouped_preferred(shape, channels: int, groups: int,
                       im2col_budget: int = 64 << 20) -> bool:
-    """Choose :func:`conv_packed_grouped` over the dense kernel: only a
-    win when groups exist, the dense kernel is big (≥ ~4 MB: L2/L3) and
-    the 27× im2col stays small."""
+    """Choose :func:`conv_packed_grouped` over the dense kernel.
+
+    DEFAULT OFF (opt-in via ``VELOXSEG_GROUPED_PACKED=1``): the byte
+    model that motivated it (dense-kernel HBM reads dominating the step)
+    was built on XLA cost-analysis bytes, which over-count ~2.6× — under
+    honest fenced A/B the dense kernels win at every measured shape
+    (96³ eval bs16: 676 vs 598 p/s; 128³ train bs32: 104.3 vs 102.9;
+    PERF_NOTES round 5). The G× zero-block FLOPs are structural: a
+    K=8·cg matmul fills the systolic array where the per-group K would
+    idle it — executed-FLOP counts overstate its cost."""
+    if os.environ.get("VELOXSEG_GROUPED_PACKED", "0") != "1":
+        return False
     if groups <= 1:
         return False
     b = shape[0]
